@@ -1,0 +1,146 @@
+"""Emulator tests: ISA conformance against the reference's open_mips binary
+fixtures, plus segmentation round-trips.
+
+The fixtures (Optimism/Cannon lineage) are read directly from the read-only
+reference checkout; each writes 1 to 0xbffffff4 ('done') and the pass flag
+to 0xbffffff8.  Skipped gracefully if the reference tree is absent.
+"""
+
+import os
+import glob
+
+import pytest
+
+from zkm_tpu.emulator.state import InstrumentedState, State, Segment
+from zkm_tpu.emulator.utils import split_prog_into_segs, load_elf_with_patch
+
+REF_TESTS = "/root/reference/emulator/src/open_mips_tests/test/bin"
+END_ADDR = 0xA7EF00D0
+
+requires_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_TESTS), reason="reference fixtures not available")
+
+
+def run_open_mips(path):
+    with open(path, "rb") as f:
+        data = f.read()
+    state = State()
+    state.memory.set_memory_range(0, data)
+    state.registers[31] = END_ADDR
+    ist = InstrumentedState(state, "")
+    for _ in range(1000):
+        if ist.state.pc == END_ADDR:
+            break
+        ist.step()
+    return ist
+
+
+@requires_ref
+def test_open_mips_conformance():
+    failures = []
+    for path in sorted(glob.glob(os.path.join(REF_TESTS, "*.bin"))):
+        name = os.path.basename(path)
+        if name == "oracle.bin":
+            continue
+        ist = run_open_mips(path)
+        done = ist.state.memory.get_memory(0xBFFFFFF4)
+        result = ist.state.memory.get_memory(0xBFFFFFF8)
+        if ist.state.pc != END_ADDR or done != 1 or result != 1:
+            failures.append((name, hex(ist.state.pc), done, result))
+    assert not failures, f"ISA conformance failures: {failures}"
+
+
+def _fib_program():
+    """Hand-assembled fib loop with a final exit_group syscall."""
+    def I(word):
+        return word
+    insns = [
+        0x24080000,   # li $t0, 0        (addiu $t0,$0,0)  a
+        0x24090001,   # li $t1, 1        b
+        0x240A0014,   # li $t2, 20       counter
+        # loop:
+        0x01095820,   # add $t3, $t0, $t1
+        0x01204021,   # move $t0, $t1 (addu $t0,$t1,$0)
+        0x01604821,   # move $t1, $t3
+        0x214AFFFF,   # addi $t2, $t2, -1
+        0x1540FFFB,   # bnez $t2, loop (bne $t2,$0,-5)
+        0x00000000,   # nop (delay slot)
+        # store result
+        0x3C10BFFF,   # lui $s0, 0xbfff
+        0x3610FFF0,   # ori $s0, 0xfff0
+        0xAE090008,   # sw $t1, 8($s0)
+        # exit_group(42)
+        0x24021096,   # li $v0, 4246
+        0x2404002A,   # li $a0, 42
+        0x0000000C,   # syscall
+        0x00000000,
+    ]
+    return b"".join(w.to_bytes(4, "big") for w in insns)
+
+
+def test_fib_and_exit():
+    state = State()
+    state.memory.set_memory_range(0, _fib_program())
+    ist = InstrumentedState(state, "")
+    for _ in range(200):
+        if ist.state.exited:
+            break
+        ist.step()
+    assert ist.state.exited and ist.state.exit_code == 42
+    # fib: a,b start 0,1; after 20 iters b = fib(21) = 10946
+    assert ist.state.memory.get_memory(0xBFFFFFF8) == 10946
+
+
+def test_segment_split_and_resume(tmp_path):
+    """Split a fib run into small segments; every segment must resume
+    correctly from its mem_image and reach the next image id."""
+    state = State()
+    state.memory.set_memory_range(0, _fib_program())
+    total_steps, segs, _ = split_prog_into_segs(
+        state, str(tmp_path), "", seg_size=8000)
+    assert total_steps > 0
+    assert len(segs) >= 1
+    # continuity: image ids chain
+    for a, b in zip(segs, segs[1:]):
+        assert a.image_id == b.pre_image_id
+        assert a.page_hash_root == b.pre_hash_root
+    # json round trip
+    text = segs[0].to_json()
+    back = Segment.from_json(text)
+    assert back == segs[0]
+    # resume each segment and re-execute its steps
+    for seg in segs:
+        st, steps = State.load_seg(seg)
+        assert st.pc == seg.pc
+        ist = InstrumentedState(st, "")
+        for _ in range(steps):
+            ist.mips_step()
+        # end state must match the recorded end pc
+        assert ist.state.pc == seg.end_pc
+
+
+def test_syscall_io_streams():
+    """write(fd=3) appends to public values; hint read round-trips."""
+    # program: write 4 bytes at 0x1000 to fd 3, then exit
+    insns = [
+        0x3C081234,  # lui $t0, 0x1234
+        0x35085678,  # ori $t0, 0x5678
+        0x3C090000,  # lui $t1, 0
+        0x35291000,  # ori $t1, 0x1000
+        0xAD280000,  # sw $t0, 0($t1)
+        0x24020FA4,  # li $v0, 4004 (write)
+        0x24040003,  # li $a0, 3
+        0x3C050000, 0x34A51000,  # li $a1, 0x1000
+        0x24060004,  # li $a2, 4
+        0x0000000C,  # syscall
+        0x24021096, 0x24040000, 0x0000000C,  # exit_group(0)
+    ]
+    data = b"".join(w.to_bytes(4, "big") for w in insns)
+    state = State()
+    state.memory.set_memory_range(0, data)
+    ist = InstrumentedState(state, "")
+    for _ in range(50):
+        if ist.state.exited:
+            break
+        ist.step()
+    assert bytes(ist.state.public_values_stream) == bytes.fromhex("12345678")

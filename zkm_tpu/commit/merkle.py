@@ -1,0 +1,74 @@
+"""Merkle tree with cap over Poseidon digests, batched leaf hashing on device.
+
+Reference analog: plonky2 `MerkleTree`/`MerkleCap` used by `PolynomialBatch`
+(SURVEY.md layer 0; cap_height=4 per prover/src/config.rs).  Leaves are rows
+of field elements; leaf digest = `hash_or_noop(row)`; interior nodes =
+`two_to_one(left, right)`; the tree stops at 2^cap_height nodes (the "cap"),
+which is what the challenger observes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..hash import poseidon as ps
+
+
+@dataclass
+class MerkleTree:
+    """Digest levels from leaf digests down to the cap.
+
+    levels[0] = leaf digests (L, 4); levels[k] has L/2^k rows; the last level
+    is the cap (2^cap_height, 4).
+    """
+    levels: List[gl.Gf]
+    cap_height: int
+
+    @property
+    def cap(self) -> gl.Gf:
+        return self.levels[-1]
+
+    @property
+    def num_leaves(self) -> int:
+        return self.levels[0][0].shape[0]
+
+    def open(self, index: int):
+        """Merkle path for leaf `index`: list of sibling digests, leaf->cap."""
+        sibs = []
+        i = index
+        for level in self.levels[:-1]:
+            sibs.append(gl.getitem(level, i ^ 1))
+            i >>= 1
+        return sibs
+
+
+def build_merkle_tree(leaves: gl.Gf, cap_height: int) -> MerkleTree:
+    """leaves: (L, W) field elements; L a power of two, L >= 2^cap_height."""
+    n = leaves[0].shape[0]
+    assert n & (n - 1) == 0 and n >= (1 << cap_height)
+    digests = ps.hash_or_noop(leaves)
+    levels = [digests]
+    while levels[-1][0].shape[0] > (1 << cap_height):
+        cur = levels[-1]
+        left = gl.getitem(cur, (slice(0, None, 2),))
+        right = gl.getitem(cur, (slice(1, None, 2),))
+        levels.append(ps.two_to_one(left, right))
+    return MerkleTree(levels=levels, cap_height=cap_height)
+
+
+def verify_merkle_proof(leaf_data: gl.Gf, index: int, siblings, cap: gl.Gf) -> bool:
+    """Host-side check that `leaf_data` (row of field elements) is at `index`."""
+    digest = ps.hash_or_noop(leaf_data)
+    i = index
+    for sib in siblings:
+        left, right = (digest, sib) if i % 2 == 0 else (sib, digest)
+        digest = ps.two_to_one(left, right)
+        i >>= 1
+    want = gl.to_u64(gl.getitem(cap, i))
+    return bool(np.array_equal(gl.to_u64(digest), want))
