@@ -23,6 +23,15 @@ import jax
 # config knob wins over it.
 jax.config.update("jax_platforms", "cpu")
 
+# x64 switches the Goldilocks internals to the compact uint64 path (~3x
+# smaller compiled graphs; see zkm_tpu/field/goldilocks.py).
+jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiled kernels survive across test runs.
+os.makedirs("/root/repo/.jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 import pytest
 

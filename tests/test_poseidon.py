@@ -168,6 +168,16 @@ def test_byte_sponge_pad_rules():
     assert [int(x) for x in digest] == state[:4]
 
 
+def test_permute_host_matches_device():
+    rng = np.random.default_rng(7)
+    state = [int(x) for x in rng.integers(0, P, size=12, dtype=np.uint64)]
+    host = ps.permute_host(state)
+    dev = gl.to_u64(ps.permute_jit(gl.from_u64(
+        np.array(state, dtype=np.uint64))))
+    assert host == [int(x) for x in dev]
+    assert host == naive_python_permute(state)
+
+
 def test_hash_pages_matches_byte_sponge():
     rng = np.random.default_rng(4)
     page = rng.integers(0, 2**32, size=1024, dtype=np.uint32)

@@ -48,17 +48,25 @@ class MerkleTree:
         return sibs
 
 
+@jax.jit
+def _leaf_digests(leaves: gl.Gf) -> gl.Gf:
+    return ps.hash_or_noop(leaves)
+
+
+@jax.jit
+def _compress_level(cur: gl.Gf) -> gl.Gf:
+    left = gl.getitem(cur, (slice(0, None, 2),))
+    right = gl.getitem(cur, (slice(1, None, 2),))
+    return ps.two_to_one(left, right)
+
+
 def build_merkle_tree(leaves: gl.Gf, cap_height: int) -> MerkleTree:
     """leaves: (L, W) field elements; L a power of two, L >= 2^cap_height."""
     n = leaves[0].shape[0]
     assert n & (n - 1) == 0 and n >= (1 << cap_height)
-    digests = ps.hash_or_noop(leaves)
-    levels = [digests]
+    levels = [_leaf_digests(leaves)]
     while levels[-1][0].shape[0] > (1 << cap_height):
-        cur = levels[-1]
-        left = gl.getitem(cur, (slice(0, None, 2),))
-        right = gl.getitem(cur, (slice(1, None, 2),))
-        levels.append(ps.two_to_one(left, right))
+        levels.append(_compress_level(levels[-1]))
     return MerkleTree(levels=levels, cap_height=cap_height)
 
 

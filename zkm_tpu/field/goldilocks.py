@@ -51,6 +51,28 @@ def _u32(x) -> jnp.ndarray:
     return jnp.asarray(x, dtype=U32)
 
 
+# When x64 is enabled (CPU test/prover processes), arithmetic internals use
+# uint64 lanes: ~3x fewer HLO ops per field op, which keeps compiled
+# constraint graphs small (XLA CPU compile time is the bottleneck; see
+# project memory).  The public (lo, hi) uint32-pair API is unchanged, and
+# the pure-u32 path remains for backends without 64-bit integers (TPU
+# Pallas kernels use explicit u32 limbs anyway).
+
+def _use_u64() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+_MASK64 = np.uint64(0xFFFFFFFF)
+
+
+def _to64(a: Gf) -> jnp.ndarray:
+    return a[0].astype(jnp.uint64) | (a[1].astype(jnp.uint64) << 32)
+
+
+def _from64(x: jnp.ndarray) -> Gf:
+    return ((x & _MASK64).astype(U32), (x >> 32).astype(U32))
+
+
 # ---------------------------------------------------------------------------
 # Host-side conversions (numpy, uint64) — for IO and tests.
 # ---------------------------------------------------------------------------
@@ -193,6 +215,13 @@ def _reduce128(r0, r1, r2, r3) -> Gf:
 # ---------------------------------------------------------------------------
 
 def add(a: Gf, b: Gf) -> Gf:
+    if _use_u64():
+        x, y = _to64(a), _to64(b)
+        s = x + y
+        carried = s < x
+        s = jnp.where(carried, s + np.uint64(EPSILON), s)
+        s = jnp.where(s >= np.uint64(P), s - np.uint64(P), s)
+        return _from64(s)
     lo, hi, c = _add64(a[0], a[1], b[0], b[1])
     # carry: value-2^64 +EPSILON == value - p; result < p so no re-canonicalize
     alo, ac = _add32c(lo, jnp.uint32(EPSILON))
@@ -203,6 +232,11 @@ def add(a: Gf, b: Gf) -> Gf:
 
 
 def sub(a: Gf, b: Gf) -> Gf:
+    if _use_u64():
+        x, y = _to64(a), _to64(b)
+        d = x - y
+        d = jnp.where(x < y, d - np.uint64(EPSILON), d)
+        return _from64(d)
     lo, hi, br = _sub64(a[0], a[1], b[0], b[1])
     # borrow: wrapped value = a-b+2^64; want a-b+p = wrapped - EPSILON
     flo, fhi, _ = _sub64(lo, hi, jnp.uint32(EPSILON), jnp.zeros_like(hi))
@@ -220,6 +254,28 @@ def zeros_like(a: Gf) -> Gf:
 
 
 def mul(a: Gf, b: Gf) -> Gf:
+    if _use_u64():
+        x, y = _to64(a), _to64(b)
+        lo64 = x * y
+        # high 64 bits via 32-bit half products (all exact in u64)
+        xl, xh = x & _MASK64, x >> 32
+        yl, yh = y & _MASK64, y >> 32
+        ll = xl * yl
+        lh = xl * yh
+        hl = xh * yl
+        # mid = hl + (ll >> 32) + (lh & mask): < 2^64, no overflow
+        mid = hl + (ll >> 32) + (lh & _MASK64)
+        hi64 = xh * yh + (mid >> 32) + (lh >> 32)
+        # reduce128: n == n_lo - n_hi_hi + n_hi_lo * EPSILON (mod p)
+        hi_hi = hi64 >> 32
+        hi_lo = hi64 & _MASK64
+        t0 = lo64 - hi_hi
+        t0 = jnp.where(lo64 < hi_hi, t0 - np.uint64(EPSILON), t0)
+        t1 = hi_lo * np.uint64(EPSILON)
+        t2 = t0 + t1
+        t2 = jnp.where(t2 < t0, t2 + np.uint64(EPSILON), t2)
+        t2 = jnp.where(t2 >= np.uint64(P), t2 - np.uint64(P), t2)
+        return _from64(t2)
     r = _mul64_wide(a[0], a[1], b[0], b[1])
     return _reduce128(*r)
 
@@ -238,16 +294,37 @@ def double(a: Gf) -> Gf:
 
 
 def pow_const(a: Gf, e: int) -> Gf:
-    """a^e for a Python-int exponent (unrolled square-and-multiply)."""
+    """a^e for a Python-int exponent.
+
+    Small exponents unroll (lets XLA fuse, e.g. the Poseidon x^7 sbox);
+    large exponents use a rolled `lax.scan` over the exponent bits — the
+    unrolled ~126-multiply chain of a^(p-2) makes XLA CPU's LLVM take
+    minutes per enclosing fusion (see project memory), while the rolled
+    form is a ~200-op graph with identical math."""
     assert e >= 0
-    result = ones(a[0].shape)
-    base = a
-    while e:
-        if e & 1:
-            result = mul(result, base)
-        e >>= 1
-        if e:
-            base = square(base)
+    if e.bit_length() <= 8:
+        result = ones(a[0].shape)
+        base = a
+        while e:
+            if e & 1:
+                result = mul(result, base)
+            e >>= 1
+            if e:
+                base = square(base)
+        return result
+
+    nbits = e.bit_length()
+    bits = jnp.asarray(
+        np.array([(e >> i) & 1 for i in range(nbits)], dtype=np.uint32))
+
+    def step(carry, bit):
+        result, base = carry
+        result = select(bit == 1, mul(result, base), result)
+        base = square(base)
+        return (result, base), None
+
+    init = (ones(a[0].shape), a)
+    (result, _), _ = jax.lax.scan(step, init, bits)
     return result
 
 
@@ -313,26 +390,32 @@ def set_at(a: Gf, key, value: Gf) -> Gf:
 
 
 def sum_axis(a: Gf, axis) -> Gf:
-    """Modular sum along an axis.
+    """Modular sum along an axis via a log-depth halving tree.
 
-    Sums 32-bit limbs into uint32 accumulators pairwise via a reduction tree
-    of field adds.  For short axes this unrolls fully; keeps everything exact.
+    Deliberately concatenate-free (zero-padding to a power of two instead):
+    XLA CPU's LLVM hangs on concat fusions of deep elementwise producers.
     """
+    axis = axis % a[0].ndim
     n = a[0].shape[axis]
-    # Reduction tree by repeated halving (pads odd level with zero).
+    if n == 1:
+        return (jnp.squeeze(a[0], axis=axis), jnp.squeeze(a[1], axis=axis))
+    target = 1 << (n - 1).bit_length()
+    if target != n:
+        pad = [(0, 0)] * a[0].ndim
+        pad[axis] = (0, target - n)
+        a = (jnp.pad(a[0], pad), jnp.pad(a[1], pad))
+        n = target
     cur = a
     while n > 1:
         half = n // 2
-        first = take(cur, jnp.arange(0, 2 * half, 2), axis=axis)
-        second = take(cur, jnp.arange(1, 2 * half, 2), axis=axis)
-        acc = add(first, second)
-        if n % 2:
-            tail = take(cur, jnp.arange(n - 1, n), axis=axis)
-            acc = concatenate([acc, tail], axis=axis)
-            n = half + 1
-        else:
-            n = half
-        cur = acc
+        first = getitem(cur, tuple(
+            slice(0, half) if d == axis else slice(None)
+            for d in range(cur[0].ndim)))
+        second = getitem(cur, tuple(
+            slice(half, n) if d == axis else slice(None)
+            for d in range(cur[0].ndim)))
+        cur = add(first, second)
+        n = half
     return (jnp.squeeze(cur[0], axis=axis), jnp.squeeze(cur[1], axis=axis))
 
 

@@ -16,7 +16,7 @@ per-query combine matches term for term.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, Sequence, Tuple
 
 import jax
@@ -79,16 +79,21 @@ def _alpha_powers_host(alpha: Ext, n: int) -> List[Ext]:
     return out
 
 
+@jax.jit
+def _eval_columns_core(coeffs: gl.Gf, zc: gl2.Gf2):
+    n = coeffs[0].shape[-1]
+    zp = _ext_powers_device(zc, n)             # (N,) ext
+    terms = gl2.mul_base(gl2.reshape(zp, (1, n)), coeffs)  # (C, N) ext
+    return gl2.sum_axis(terms, axis=-1)
+
+
 def eval_columns_at(coeffs: gl.Gf, z: Ext) -> np.ndarray:
     """Evaluate all polynomials (rows of coeffs (C, N)) at extension point z.
 
     Returns a host (C, 2) u64 array.
     """
-    n = coeffs[0].shape[-1]
     zc = gl2.scalar_from_u64s(z[0], z[1])
-    zp = _ext_powers_device(zc, n)             # (N,) ext
-    terms = gl2.mul_base(gl2.reshape(zp, (1, n)), coeffs)  # (C, N) ext
-    s = gl2.sum_axis(terms, axis=-1)
+    s = _eval_columns_core(coeffs, zc)
     return np.stack([gl.to_u64(s[0]), gl.to_u64(s[1])], axis=-1)
 
 
@@ -109,21 +114,29 @@ def _ext_powers_device(z: gl2.Gf2, n: int) -> gl2.Gf2:
     return pows
 
 
-def _combine_batch_values(batch: OpeningBatch, oracles, alpha_pows) -> gl2.Gf2:
-    """sum_i alpha^i p_i over the LDE leaves; accumulation loop (keeps memory
-    at O(M) instead of materializing an (M, num_polys) intermediate)."""
+@partial(jax.jit, static_argnums=(0,))
+def _batch_quotient_core(ranges, oracle_leaves, alpha_pows: gl2.Gf2,
+                         cz: gl2.Gf2, z: gl2.Gf2, xs: gl.Gf) -> gl2.Gf2:
+    """(sum_i alpha^i p_i(x) - comp(z)) / (x - z) over the LDE leaves."""
+    m = xs[0].shape[0]
     acc = None
     i = 0
-    for r in batch.ranges:
-        leaves = oracles[r.oracle].leaves  # (M, C)
+    for r in ranges:
+        leaves = oracle_leaves[r.oracle]  # (M, C)
         for c in range(r.start, r.stop):
             col = gl.getitem(leaves, (slice(None), c))
-            a = alpha_pows[i]
-            term = (gl.mul(col, gl.full((), a[0])),
-                    gl.mul(col, gl.full((), a[1])))
+            a = gl2.getitem(alpha_pows, i)
+            term = (gl.mul(col, a[0]), gl.mul(col, a[1]))
             acc = term if acc is None else gl2.add(acc, term)
             i += 1
-    return acc
+    num = gl2.sub(acc, cz)
+    den = gl2.sub((xs, gl.zeros((m,))), z)
+    return gl2.mul(num, gl2.inverse(den))
+
+
+@jax.jit
+def _shift_accumulate(final: gl2.Gf2, shift: gl2.Gf2, quot: gl2.Gf2):
+    return gl2.add(gl2.mul(final, shift), quot)
 
 
 def open_and_prove(batches: Sequence[OpeningBatch],
@@ -135,31 +148,32 @@ def open_and_prove(batches: Sequence[OpeningBatch],
     observed by the caller (STARK layer draws/observes them first)."""
     degree_bits = oracles[0].degree_bits
     log_m = degree_bits + config.rate_bits
-    m = 1 << log_m
 
     alpha = challenger.get_extension_challenge()
 
     xs = lde_points_bitrev(log_m, gl.GENERATOR)
+    oracle_leaves = tuple(o.leaves for o in oracles)
     final = None
     for batch, opens in zip(batches, openings_per_batch):
         alpha_pows = _alpha_powers_host(alpha, max(1, batch.num_polys))
-        comp = _combine_batch_values(batch, oracles, alpha_pows)
+        ap = np.array(alpha_pows, dtype=np.uint64)  # (k, 2)
+        ap_gf = gl2.from_u64_pair(ap[:, 0], ap[:, 1])
         # comp(z) from the opened values (host ints)
         cz = (0, 0)
         for i in range(batch.num_polys):
             term = gl2.host_mul(alpha_pows[i],
                                 (int(opens[i][0]), int(opens[i][1])))
             cz = ((cz[0] + term[0]) % gl.P, (cz[1] + term[1]) % gl.P)
-        z = batch.point
-        num = gl2.sub(comp, gl2.scalar_from_u64s(*cz))
-        den = gl2.sub((xs, gl.zeros((m,))), gl2.scalar_from_u64s(*z))
-        den_inv = gl2.inverse(den)
-        quot = gl2.mul(num, den_inv)
+        quot = _batch_quotient_core(
+            batch.ranges, oracle_leaves, ap_gf,
+            gl2.scalar_from_u64s(*cz), gl2.scalar_from_u64s(*batch.point),
+            (jnp.asarray(xs[0]), jnp.asarray(xs[1])))
         if final is None:
             final = quot
         else:
             shift = gl2.host_pow(alpha, batch.num_polys)
-            final = gl2.add(gl2.mul(final, gl2.scalar_from_u64s(*shift)), quot)
+            final = _shift_accumulate(
+                final, gl2.scalar_from_u64s(*shift), quot)
 
     return fri_prove(oracles, final, degree_bits, challenger, config)
 

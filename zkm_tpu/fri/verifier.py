@@ -24,18 +24,11 @@ _INV2 = (gl.P + 1) // 2
 
 
 def _host_digest_row(values: Sequence[int]) -> List[int]:
-    """hash_or_noop on host via the device kernel (single row)."""
-    arr = np.asarray(list(values), dtype=np.uint64)
-    if len(arr) <= 4:
-        out = list(arr) + [0] * (4 - len(arr))
-        return [int(x) for x in out]
-    return [int(x) for x in gl.to_u64(ps.hash_no_pad(gl.from_u64(arr)))]
+    return ps.hash_or_noop_host(list(values))
 
 
 def _host_two_to_one(a: List[int], b: List[int]) -> List[int]:
-    la = gl.from_u64(np.asarray(a, dtype=np.uint64))
-    rb = gl.from_u64(np.asarray(b, dtype=np.uint64))
-    return [int(x) for x in gl.to_u64(ps.two_to_one(la, rb))]
+    return ps.two_to_one_host(a, b)
 
 
 def verify_merkle_proof_host(leaf_values: Sequence[int], index: int,

@@ -72,7 +72,9 @@ def _mds_layer(state: gl.Gf) -> gl.Gf:
     # XLA CPU's LLVM pipeline hangs on large concatenate-fusion kernels.
     def circ(limb):
         g = limb[..., _MDS_IDX]                      # (..., 12, 12)
-        acc = jnp.sum(g * _MDS_CIRC_ARR, axis=-1)    # < 2^26, fits uint32
+        # dtype pinned: under x64 jnp.sum would promote uint32 -> uint64
+        acc = jnp.sum(g * _MDS_CIRC_ARR, axis=-1,
+                      dtype=jnp.uint32)              # < 2^26, fits uint32
         return acc.at[..., 0].add(limb[..., 0] * jnp.uint32(_MDS_DIAG0))
 
     o0 = circ(lo & jnp.uint32(0xFFFF))
@@ -236,6 +238,68 @@ def poseidon_bytes(data: bytes) -> np.ndarray:
     """Host convenience: full byte sponge -> 4 uint64 digest words."""
     blocks = bytes_to_rate_blocks(data)
     return gl.to_u64(_absorb_jit(jnp.asarray(blocks)))
+
+
+# ---------------------------------------------------------------------------
+# Pure-python permutation (host transcript path).
+#
+# The Fiat-Shamir challenger and per-query Merkle path checks are scalar and
+# sequential; going through jitted device calls costs ~1ms of dispatch per
+# permutation and pollutes the jit caches.  This int-based implementation is
+# bit-identical (same naive round structure as `permute`).
+# ---------------------------------------------------------------------------
+
+_P = gl.P
+_RC_INT = [[int(x) for x in row] for row in _RC]
+_MDS_CIRC_INT = list(C.MDS_MATRIX_CIRC)
+_MDS_DIAG0_INT = C.MDS_MATRIX_DIAG[0]
+
+
+def permute_host(state):
+    """[12 ints] -> [12 ints]; same permutation as `permute`."""
+    s = [int(x) for x in state]
+    for r in range(C.N_ROUNDS):
+        rc = _RC_INT[r]
+        is_full = r < C.HALF_N_FULL_ROUNDS or \
+            r >= C.HALF_N_FULL_ROUNDS + C.N_PARTIAL_ROUNDS
+        s = [(v + rc[i]) % _P for i, v in enumerate(s)]
+        if is_full:
+            s = [pow(v, 7, _P) for v in s]
+        else:
+            s[0] = pow(s[0], 7, _P)
+        out = []
+        for row in range(12):
+            acc = 0
+            for i in range(12):
+                acc += _MDS_CIRC_INT[i] * s[(i + row) % 12]
+            if row == 0:
+                acc += _MDS_DIAG0_INT * s[0]
+            out.append(acc % _P)
+        s = out
+    return s
+
+
+def hash_no_pad_host(values):
+    """[ints] -> 4-int digest (plonky2 hash_n_to_hash_no_pad, host)."""
+    state = [0] * SPONGE_WIDTH
+    vals = [int(v) for v in values]
+    for start in range(0, len(vals), SPONGE_RATE):
+        chunk = vals[start:start + SPONGE_RATE]
+        state[:len(chunk)] = chunk
+        state = permute_host(state)
+    return state[:DIGEST]
+
+
+def hash_or_noop_host(values):
+    vals = [int(v) for v in values]
+    if len(vals) <= DIGEST:
+        return vals + [0] * (DIGEST - len(vals))
+    return hash_no_pad_host(vals)
+
+
+def two_to_one_host(left, right):
+    state = [int(x) for x in left] + [int(x) for x in right] + [0, 0, 0, 0]
+    return permute_host(state)[:DIGEST]
 
 
 def hash_pages(pages_u32: np.ndarray) -> np.ndarray:

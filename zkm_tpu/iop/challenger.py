@@ -23,9 +23,7 @@ WIDTH = ps.SPONGE_WIDTH    # 12
 
 
 def _permute_host(state: List[int]) -> List[int]:
-    arr = np.array(state, dtype=np.uint64)
-    out = gl.to_u64(ps.permute_jit(gl.from_u64(arr)))
-    return [int(x) for x in out]
+    return ps.permute_host(state)
 
 
 class Challenger:

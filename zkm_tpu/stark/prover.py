@@ -1,0 +1,389 @@
+"""Multi-table STARK prover.
+
+Reference: /root/reference/prover/src/prover.rs (SURVEY.md §3.2).  The
+transcript discipline is mirrored exactly: one challenger for the whole
+AllProof; order = all trace caps -> public values -> CTL challenge set ->
+per table (in table order): compact state -> aux cap -> alphas -> quotient
+cap -> zeta -> openings -> FRI.
+
+TPU-first details:
+  * quotient constraints evaluate over the whole 2n-point coset at once
+    (BatchAlgebra; the reference steps by SIMD lanes);
+  * Z_H on the coset takes only two values (g^n·(-1)^i - 1), so the
+    divisions become two constant inversions;
+  * aux/trace quotient-domain values come from rate-1-bit coset NTTs of the
+    committed coefficients.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..field import extension as gl2
+from ..field import ntt
+from ..commit import polynomial_batch as pb
+from ..fri import oracle as fri_oracle
+from ..iop.challenger import Challenger
+from .algebra import BatchAlgebra, BatchRows
+from .config import StarkConfig
+from .constraint_consumer import ConstraintConsumer
+from .cross_table_lookup import (CtlCheckVars, GrandProductChallenge,
+                                 cross_table_lookup_data,
+                                 get_grand_product_challenge_set)
+from .lookup import lookup_helper_columns
+from .proof import (AllProof, PublicValues, StarkOpeningSet, StarkProof,
+                    StarkProofWithMetadata)
+from .vanishing_poly import eval_vanishing_poly
+
+P = gl.P
+
+
+def observe_public_values(challenger: Challenger, pv: PublicValues):
+    challenger.observe_elements(pv.roots_before.root)
+    challenger.observe_elements(pv.roots_after.root)
+    challenger.observe_elements(list(pv.userdata))
+
+
+@lru_cache(maxsize=None)
+def _quotient_xs(degree_bits: int):
+    """x_i = g * w^i over the 2n coset (numpy u32 pair)."""
+    log_m = degree_bits + 1
+    w = gl.primitive_root_of_unity(log_m)
+    pw = gl.host_powers(w, 1 << log_m).astype(object)
+    vals = (pw * gl.GENERATOR) % P
+    arr = vals.astype(np.uint64)
+    return ((arr & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (arr >> np.uint64(32)).astype(np.uint32))
+
+
+def _const(v: int) -> gl.Gf:
+    return gl.full((), v % P)
+
+
+def _build_ctl_vars(aux_local, aux_next, num_lookup: int, ctl_structure,
+                    chal_gfs):
+    """ctl_structure: tuple of (num_helpers, challenge_idx, columns, filters).
+    chal_gfs: traced list of (beta, gamma) Gf scalars."""
+    ctl_vars = []
+    total_helpers = sum(s[0] for s in ctl_structure)
+    h = num_lookup
+    for k, (nh, ci, columns, filters) in enumerate(ctl_structure):
+        zi = num_lookup + total_helpers + k
+        beta, gamma = chal_gfs[ci]
+        ctl_vars.append(CtlCheckVars(
+            helper_columns=aux_local[h:h + nh],
+            local_z=aux_local[zi], next_z=aux_next[zi],
+            challenge=GrandProductChallenge(beta, gamma),
+            columns=list(columns), filters=list(filters)))
+        h += nh
+    return ctl_vars
+
+
+def ctl_structure_of(ctl_data, chal_index) -> tuple:
+    """Static description of a table's CTL aux layout.
+
+    chal_index maps a GrandProductChallenge (int form) to its index in the
+    traced challenge list."""
+    return tuple(
+        (len(z.helper_columns), chal_index[(z.challenge.beta,
+                                            z.challenge.gamma)],
+         tuple(tuple(c) for c in z.columns), tuple(z.filters))
+        for z in ctl_data.zs_columns)
+
+
+@lru_cache(maxsize=None)
+def _quotient_domain_tables(degree_bits: int):
+    """Challenge-independent per-point tables over the 2n quotient coset:
+    (z_last, lagrange_first, lagrange_last, inv_zh) — computed once per
+    size, outside the big constraint graph."""
+    n = 1 << degree_bits
+    m = 2 * n
+
+    @jax.jit
+    def build():
+        xs = _quotient_xs(degree_bits)
+        g_last = gl.host_pow(gl.primitive_root_of_unity(degree_bits), n - 1)
+        z_last = gl.sub(xs, _const(g_last))
+        # Z_H(x) on the coset: g^n * (-1)^i - 1 (two values only)
+        gn = gl.host_pow(gl.GENERATOR, n)
+        even_i = jnp.asarray(np.arange(m) % 2 == 0)
+        zh_even, zh_odd = (gn - 1) % P, (-gn - 1) % P
+        z_h = gl.select(even_i, _const(zh_even), _const(zh_odd))
+        inv_zh = gl.select(even_i, _const(gl.host_inv(zh_even)),
+                           _const(gl.host_inv(zh_odd)))
+        n_inv = gl.host_inv(n)
+        lag_first = gl.mul(gl.mul(z_h, _const(n_inv)),
+                           gl.inverse(gl.sub(xs, _const(1))))
+        lag_last = gl.mul(gl.mul(z_h, _const((n_inv * g_last) % P)),
+                          gl.inverse(gl.sub(xs, _const(g_last))))
+        return z_last, lag_first, lag_last, inv_zh
+
+    return jax.block_until_ready(build())
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def _quotient_core(stark, degree_bits: int, trace_coeffs: gl.Gf,
+                   aux_coeffs, alphas_gf, num_lookup: int,
+                   ctl_structure, chal_gfs, domain_tables) -> List[gl.Gf]:
+    """Evaluate the alpha-combined vanishing polynomial / Z_H over the
+    quotient coset (size 2n).  Returns one (2n,) array per alpha.
+
+    Challenge and alpha values are traced (no per-proof recompilation)."""
+    n = 1 << degree_bits
+    m = 2 * n
+    algebra = BatchAlgebra(m)
+
+    trace_qd = ntt.lde(trace_coeffs, 1)           # (C, 2n) on g*H_2n
+    nxt_idx = ((np.arange(m) + 2) % m).astype(np.int32)
+    local = BatchRows(trace_qd)
+    nxt = BatchRows(gl.take(trace_qd, nxt_idx, axis=-1))
+
+    aux_local, aux_next = [], []
+    if aux_coeffs is not None:
+        aux_qd = ntt.lde(aux_coeffs, 1)
+        aux_view = BatchRows(aux_qd)
+        aux_next_view = BatchRows(gl.take(aux_qd, nxt_idx, axis=-1))
+        num_aux = len(aux_view)
+        aux_local = [aux_view[i] for i in range(num_aux)]
+        aux_next = [aux_next_view[i] for i in range(num_aux)]
+
+    z_last, lag_first, lag_last, inv_zh = domain_tables
+    consumer = ConstraintConsumer(
+        algebra, list(alphas_gf), z_last, lag_first, lag_last)
+
+    lookup_vars = None
+    if stark.uses_lookups():
+        betas = [c[0] for c in chal_gfs]
+        lookup_vars = (aux_local[:num_lookup], aux_next[:num_lookup], betas)
+
+    ctl_vars = _build_ctl_vars(aux_local, aux_next, num_lookup,
+                               ctl_structure, chal_gfs)
+    eval_vanishing_poly(algebra, stark, local, nxt, lookup_vars, ctl_vars,
+                        consumer)
+    return [gl.mul(acc, inv_zh) for acc in consumer.accs]
+
+
+@partial(jax.jit, static_argnums=(0, 1, 5, 6))
+def _check_constraints_core(stark, degree_bits: int, trace_values: gl.Gf,
+                            aux_values, alphas_gf, num_lookup: int,
+                            ctl_structure, chal_gfs) -> List[gl.Gf]:
+    """Evaluate all constraints *on H itself* (reference `check_constraints`,
+    prover.rs:793-910): row selectors become indicator vectors; every
+    accumulator row must come out zero."""
+    n = 1 << degree_bits
+    algebra = BatchAlgebra(n)
+    nxt_idx = ((np.arange(n) + 1) % n).astype(np.int32)
+    local = BatchRows(trace_values)
+    nxt = BatchRows(gl.take(trace_values, nxt_idx, axis=-1))
+    aux_local, aux_next = [], []
+    if aux_values is not None:
+        aux_view = BatchRows(aux_values)
+        aux_next_view = BatchRows(gl.take(aux_values, nxt_idx, axis=-1))
+        aux_local = [aux_view[i] for i in range(len(aux_view))]
+        aux_next = [aux_next_view[i] for i in range(len(aux_view))]
+
+    g = gl.primitive_root_of_unity(degree_bits)
+    xs = gl.from_u64(gl.host_powers(g, n))
+    g_last = gl.host_pow(g, n - 1)
+    z_last = gl.sub(xs, _const(g_last))
+    first = np.zeros(n, dtype=np.uint64)
+    first[0] = 1
+    last = np.zeros(n, dtype=np.uint64)
+    last[-1] = 1
+    consumer = ConstraintConsumer(
+        algebra, list(alphas_gf), z_last,
+        gl.from_u64(first), gl.from_u64(last))
+
+    lookup_vars = None
+    if stark.uses_lookups():
+        betas = [c[0] for c in chal_gfs]
+        lookup_vars = (aux_local[:num_lookup], aux_next[:num_lookup], betas)
+    ctl_vars = _build_ctl_vars(aux_local, aux_next, num_lookup,
+                               ctl_structure, chal_gfs)
+    eval_vanishing_poly(algebra, stark, local, nxt, lookup_vars, ctl_vars,
+                        consumer)
+    return consumer.accs
+
+
+def check_constraints(stark, trace_values, aux_values, alphas, num_lookup,
+                      ctl_structure, chal_gfs, degree_bits):
+    accs = _check_constraints_core(
+        stark, degree_bits, trace_values, aux_values,
+        [_const(a) for a in alphas], num_lookup, ctl_structure, chal_gfs)
+    for i, acc in enumerate(accs):
+        vals = gl.to_u64(acc)
+        bad = np.nonzero(vals)[0]
+        assert bad.size == 0, \
+            f"constraints failed for alpha {i} at rows {bad[:10].tolist()}"
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _quotient_coeffs(quotient_values: List[gl.Gf], n: int) -> List[gl.Gf]:
+    return [ntt.coset_intt(gl.reshape(qv, (1, 2 * n)))
+            for qv in quotient_values]
+
+
+def _quotient_chunks(quotient_values: List[gl.Gf], n: int) -> gl.Gf:
+    """Coset values (2n) -> coefficients -> two degree-n chunks each,
+    challenge-major order (matches the committed quotient layout).  The
+    final stack happens outside jit on materialized arrays (concat of deep
+    producers hangs XLA CPU's LLVM — see project memory)."""
+    coeffs = _quotient_coeffs(quotient_values, n)
+    chunks_lo, chunks_hi = [], []
+    for lo, hi in coeffs:
+        chunks_lo += [lo[0, :n], lo[0, n:]]
+        chunks_hi += [hi[0, :n], hi[0, n:]]
+    return jnp.stack(chunks_lo), jnp.stack(chunks_hi)
+
+
+def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
+                       trace_commitment: pb.PolynomialBatch, ctl_data,
+                       ctl_challenges, challenger: Challenger,
+                       debug: bool = False) -> StarkProofWithMetadata:
+    n = trace_values[0].shape[-1]
+    degree_bits = n.bit_length() - 1
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+
+    init_challenger_state = challenger.compact()
+
+    lookup_challenges = None
+    if stark.uses_lookups():
+        lookup_challenges = [ch.beta for ch in ctl_challenges.challenges]
+
+    aux_polys: List[gl.Gf] = []
+    num_lookup_columns = 0
+    if lookup_challenges is not None:
+        for lookup in stark.lookups():
+            for challenge in lookup_challenges:
+                aux_polys.extend(lookup_helper_columns(
+                    lookup, trace_values, challenge,
+                    stark.constraint_degree))
+        num_lookup_columns = len(aux_polys)
+    aux_polys.extend(ctl_data.ctl_helper_polys())
+    aux_polys.extend(ctl_data.ctl_z_polys())
+    assert aux_polys, "No CTL?"
+
+    aux_values = (jnp.stack([p[0] for p in aux_polys]),
+                  jnp.stack([p[1] for p in aux_polys]))
+    aux_commitment = pb.from_values(aux_values, rate_bits, cap_height)
+    challenger.observe_cap(aux_commitment.cap_u64())
+
+    alphas = challenger.get_n_challenges(config.num_challenges)
+
+    chal_index = {(c.beta, c.gamma): i
+                  for i, c in enumerate(ctl_challenges.challenges)}
+    chal_gfs = [(gl.full((), c.beta), gl.full((), c.gamma))
+                for c in ctl_challenges.challenges]
+    ctl_structure = ctl_structure_of(ctl_data, chal_index)
+    alphas_gf = [_const(a) for a in alphas]
+
+    if debug:
+        check_constraints(stark, trace_values, aux_values, alphas,
+                          num_lookup_columns, ctl_structure, chal_gfs,
+                          degree_bits)
+
+    quotient_values = _quotient_core(
+        stark, degree_bits, trace_commitment.coeffs, aux_commitment.coeffs,
+        alphas_gf, num_lookup_columns, ctl_structure, chal_gfs,
+        _quotient_domain_tables(degree_bits))
+
+    quotient_chunks = _quotient_chunks(quotient_values, n)
+    quotient_commitment = pb.from_coeffs(quotient_chunks, rate_bits,
+                                         cap_height)
+    challenger.observe_cap(quotient_commitment.cap_u64())
+
+    zeta = challenger.get_extension_challenge()
+    # zeta must lie outside H (otherwise Z_H(zeta) = 0)
+    zn = gl2.host_pow(zeta, n)
+    assert zn != (1, 0), "opening point is in the subgroup"
+
+    g = gl.primitive_root_of_unity(degree_bits)
+    zeta_next = gl2.host_mul(zeta, (g, 0))
+
+    local_values = fri_oracle.eval_columns_at(trace_commitment.coeffs, zeta)
+    next_values = fri_oracle.eval_columns_at(trace_commitment.coeffs,
+                                             zeta_next)
+    aux_open = fri_oracle.eval_columns_at(aux_commitment.coeffs, zeta)
+    aux_open_next = fri_oracle.eval_columns_at(aux_commitment.coeffs,
+                                               zeta_next)
+    quotient_open = fri_oracle.eval_columns_at(quotient_commitment.coeffs,
+                                               zeta)
+    # openings at 1 = sum of coefficients (base field)
+    aux_at_one = gl.to_u64(gl.sum_axis(aux_commitment.coeffs, -1))
+    total_helpers = sum(ctl_data.num_ctl_helper_polys())
+    ctl_zs_first = aux_at_one[num_lookup_columns + total_helpers:]
+
+    openings = StarkOpeningSet(
+        local_values=local_values, next_values=next_values,
+        auxiliary_polys=aux_open, auxiliary_polys_next=aux_open_next,
+        ctl_zs_first=ctl_zs_first, quotient_polys=quotient_open)
+
+    for batch_vals in openings.fri_batches():
+        for c0, c1 in batch_vals:
+            challenger.observe_extension((int(c0), int(c1)))
+
+    num_columns = trace_commitment.coeffs[0].shape[0]
+    num_aux = aux_commitment.coeffs[0].shape[0]
+    num_quot = quotient_commitment.coeffs[0].shape[0]
+    batches = [
+        fri_oracle.OpeningBatch(point=zeta, ranges=(
+            fri_oracle.PolyRange(0, 0, num_columns),
+            fri_oracle.PolyRange(1, 0, num_aux),
+            fri_oracle.PolyRange(2, 0, num_quot))),
+        fri_oracle.OpeningBatch(point=zeta_next, ranges=(
+            fri_oracle.PolyRange(0, 0, num_columns),
+            fri_oracle.PolyRange(1, 0, num_aux))),
+        fri_oracle.OpeningBatch(point=(1, 0), ranges=(
+            fri_oracle.PolyRange(1, num_lookup_columns + total_helpers,
+                                 num_aux),)),
+    ]
+    opening_values = openings.fri_batches()
+    oracles = [trace_commitment, aux_commitment, quotient_commitment]
+    opening_proof = fri_oracle.open_and_prove(
+        batches, opening_values, oracles, challenger, config.fri_config)
+
+    proof = StarkProof(
+        trace_cap=trace_commitment.cap_u64(),
+        auxiliary_polys_cap=aux_commitment.cap_u64(),
+        quotient_polys_cap=quotient_commitment.cap_u64(),
+        openings=openings, opening_proof=opening_proof)
+    return StarkProofWithMetadata(
+        init_challenger_state=init_challenger_state, proof=proof,
+        degree_bits=degree_bits)
+
+
+def prove_with_traces(starks: Sequence, config: StarkConfig,
+                      traces: List[gl.Gf], ctls,
+                      public_values: PublicValues,
+                      debug: bool = False) -> AllProof:
+    """traces[t]: (C_t, N_t) per-table trace values."""
+    rate_bits = config.fri_config.rate_bits
+    cap_height = config.fri_config.cap_height
+
+    trace_commitments = [pb.from_values(t, rate_bits, cap_height)
+                         for t in traces]
+    challenger = Challenger()
+    for c in trace_commitments:
+        challenger.observe_cap(c.cap_u64())
+    observe_public_values(challenger, public_values)
+
+    ctl_challenges = get_grand_product_challenge_set(
+        challenger, config.num_challenges)
+    ctl_data_per_table = cross_table_lookup_data(
+        traces, ctls, ctl_challenges, 3)
+
+    proofs = []
+    for stark, trace, commitment, ctl_data in zip(
+            starks, traces, trace_commitments, ctl_data_per_table):
+        proofs.append(prove_single_table(
+            stark, config, trace, commitment, ctl_data, ctl_challenges,
+            challenger, debug=debug))
+    return AllProof(stark_proofs=proofs, ctl_challenges=ctl_challenges,
+                    public_values=public_values)
