@@ -136,8 +136,12 @@ class Segment:
 
 
 class State:
-    def __init__(self):
-        self.memory = Memory()
+    def __init__(self, native: bool = False):
+        if native:
+            from .native import CoreMemory
+            self.memory = CoreMemory()
+        else:
+            self.memory = Memory()
         self.registers = [0] * 32
         self.pc = 0
         self.next_pc = 4
@@ -509,13 +513,19 @@ class InstrumentedState:
         elif fun == 0x1A:  # div (truncated toward zero, like Rust i32 ops)
             srs = rs - (1 << 32) if rs >> 31 else rs
             srt = rt - (1 << 32) if rt >> 31 else rt
-            q = abs(srs) // abs(srt) if srt else 0
-            if (srs < 0) != (srt < 0):
-                q = -q
-            r = srs - q * srt
-            s.hi, s.lo = r & M32, q & M32
+            if srt:
+                q = abs(srs) // abs(srt)
+                if (srs < 0) != (srt < 0):
+                    q = -q
+                r = srs - q * srt
+                s.hi, s.lo = r & M32, q & M32
+            else:
+                s.hi, s.lo = srs & M32, 0
         elif fun == 0x1B:  # divu
-            s.hi, s.lo = rs % rt, rs // rt
+            if rt:
+                s.hi, s.lo = rs % rt, rs // rt
+            else:
+                s.hi, s.lo = rs, 0
         else:
             raise ValueError(f"invalid hilo fun {fun}")
         if store_reg != 0:
@@ -766,6 +776,35 @@ class InstrumentedState:
         return (self.state.cycle
                 + (self.state.memory.page_count() + 1) * PAGE_CYCLES
                 + RESERVE_CYCLES)
+
+    def run_fast(self, max_steps: int) -> int:
+        """Run up to max_steps using the native core when available.
+
+        The core returns at every syscall, which is then executed by the
+        Python interpreter (single source of truth for syscall semantics).
+        Returns the number of steps executed.
+        """
+        mem = self.state.memory
+        if not hasattr(mem, "run"):  # pure-Python memory: no native core
+            done = 0
+            while done < max_steps and not self.state.exited:
+                self.mips_step()
+                done += 1
+            return done
+        from .native import STOP_FAULT, STOP_SYSCALL
+        total = 0
+        while total < max_steps and not self.state.exited:
+            reason, done = mem.run(self.state, max_steps - total)
+            total += done
+            if reason == STOP_SYSCALL and not self.state.exited:
+                before = self.state.step
+                self.mips_step()  # executes the syscall via Python
+                total += self.state.step - before
+            elif reason == STOP_FAULT:
+                # replay the faulting instruction in Python for a good error
+                self.mips_step()
+                raise RuntimeError("native core fault not reproduced")
+        return total
 
     def split_segment(self, emit: bool, output_dir: Optional[str] = None
                       ) -> Optional[Segment]:

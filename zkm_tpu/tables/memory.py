@@ -1,0 +1,208 @@
+"""Memory table: consistency of all memory operations.
+
+Reference: /root/reference/prover/src/memory/ — 13 columns, rows sorted by
+(context, segment, virt, timestamp); read-after-write equality; ordering
+enforced by first-change flags + a logUp range check of the delta against a
+counter column; `fill_gaps` inserts dummy reads so deltas stay below the
+trace height; R0 (ctx 0, RegisterFile, virt 0) writes are value-coerced to 0.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+from typing import List
+
+import numpy as np
+
+from ..field import goldilocks as gl
+from ..stark.columns import Column, Filter
+from ..stark.lookup import Lookup
+from ..stark.stark import Stark
+
+FILTER = 0
+TIMESTAMP = 1
+IS_READ = 2
+ADDR_CONTEXT = 3
+ADDR_SEGMENT = 4
+ADDR_VIRTUAL = 5
+VALUE = 6
+CONTEXT_FIRST_CHANGE = 7
+SEGMENT_FIRST_CHANGE = 8
+VIRTUAL_FIRST_CHANGE = 9
+RANGE_CHECK = 10
+COUNTER = 11
+FREQUENCIES = 12
+NUM_COLUMNS = 13
+
+# memory segments (reference memory/segments.rs)
+SEG_CODE = 0
+SEG_KERNEL_GENERAL = 1
+SEG_KERNEL_GENERAL2 = 2
+SEG_SHIFT_TABLE = 3
+SEG_REGISTER_FILE = 4
+
+NUM_CHANNELS = 10  # timestamp = clock * NUM_CHANNELS (witness/memory.rs:86)
+
+
+@dataclass(frozen=True)
+class MemoryOp:
+    filter: bool
+    timestamp: int
+    is_read: bool
+    context: int
+    segment: int
+    virt: int
+    value: int
+
+    def sorting_key(self):
+        return (self.context, self.segment, self.virt, self.timestamp)
+
+
+def _fill_gaps(ops: List[MemoryOp]) -> List[MemoryOp]:
+    max_rc = (1 << (len(ops) - 1).bit_length()) - 1 if ops else 0
+    out = list(ops)
+    for curr, nxt in zip(ops, ops[1:]):
+        if curr.context != nxt.context or curr.segment != nxt.segment:
+            continue
+        if curr.virt != nxt.virt:
+            while nxt.virt - curr.virt - 1 > max_rc:
+                curr = MemoryOp(False, 0, True, curr.context, curr.segment,
+                                curr.virt + max_rc + 1, 0)
+                out.append(curr)
+        else:
+            while nxt.timestamp - curr.timestamp > max_rc:
+                curr = MemoryOp(False, curr.timestamp + max_rc, True,
+                                curr.context, curr.segment, curr.virt,
+                                curr.value)
+                out.append(curr)
+    return out
+
+
+def _coerce_r0(op: MemoryOp) -> MemoryOp:
+    """R0 writes read back as 0; coerce *before* fill_gaps so dummy reads
+    inherit the coerced value (the reference coerces at row build time,
+    memory_stark.rs:64-73 — done earlier here so gap-filling dummies stay
+    consistent with the write row)."""
+    if (not op.is_read and op.context == 0
+            and op.segment == SEG_REGISTER_FILE and op.virt == 0
+            and op.value != 0):
+        return MemoryOp(op.filter, op.timestamp, op.is_read, op.context,
+                        op.segment, op.virt, 0)
+    return op
+
+
+def generate_trace(ops: List[MemoryOp], min_rows: int = 64) -> gl.Gf:
+    assert ops, "no memory ops"
+    ops = [_coerce_r0(op) for op in ops]
+    ops = sorted(ops, key=MemoryOp.sorting_key)
+    ops = _fill_gaps(ops)
+    ops.sort(key=MemoryOp.sorting_key)
+    # padding: repeat last op as filtered-out read
+    last = ops[-1]
+    pad_op = MemoryOp(False, last.timestamp, True, last.context, last.segment,
+                      last.virt, last.value)
+    n = max(len(ops), min_rows, 2)
+    n = 1 << (n - 1).bit_length()
+    ops = ops + [pad_op] * (n - len(ops))
+
+    rows = np.zeros((n, NUM_COLUMNS), dtype=np.uint64)
+    for r, op in enumerate(ops):
+        value = op.value
+        rows[r, FILTER] = int(op.filter)
+        rows[r, TIMESTAMP] = op.timestamp
+        rows[r, IS_READ] = int(op.is_read)
+        rows[r, ADDR_CONTEXT] = op.context
+        rows[r, ADDR_SEGMENT] = op.segment
+        rows[r, ADDR_VIRTUAL] = op.virt
+        rows[r, VALUE] = value
+    # first-change flags + range check
+    for r in range(n - 1):
+        ctx_ch = rows[r, ADDR_CONTEXT] != rows[r + 1, ADDR_CONTEXT]
+        seg_ch = (rows[r, ADDR_SEGMENT] != rows[r + 1, ADDR_SEGMENT]) \
+            and not ctx_ch
+        virt_ch = (rows[r, ADDR_VIRTUAL] != rows[r + 1, ADDR_VIRTUAL]) \
+            and not ctx_ch and not seg_ch
+        rows[r, CONTEXT_FIRST_CHANGE] = int(ctx_ch)
+        rows[r, SEGMENT_FIRST_CHANGE] = int(seg_ch)
+        rows[r, VIRTUAL_FIRST_CHANGE] = int(virt_ch)
+        if ctx_ch:
+            rc = rows[r + 1, ADDR_CONTEXT] - rows[r, ADDR_CONTEXT] - 1
+        elif seg_ch:
+            rc = rows[r + 1, ADDR_SEGMENT] - rows[r, ADDR_SEGMENT] - 1
+        elif virt_ch:
+            rc = rows[r + 1, ADDR_VIRTUAL] - rows[r, ADDR_VIRTUAL] - 1
+        else:
+            rc = rows[r + 1, TIMESTAMP] - rows[r, TIMESTAMP]
+        assert rc < n, f"range check {rc} too large; fill_gaps bug?"
+        rows[r, RANGE_CHECK] = rc
+    rows[:, COUNTER] = np.arange(n, dtype=np.uint64)
+    for r in range(n):
+        rows[int(rows[r, RANGE_CHECK]), FREQUENCIES] += 1
+    return gl.from_u64(rows.T.copy())
+
+
+def ctl_data() -> List[Column]:
+    cols = Column.singles([IS_READ, ADDR_CONTEXT, ADDR_SEGMENT, ADDR_VIRTUAL,
+                           VALUE, TIMESTAMP])
+    return cols
+
+
+def ctl_filter() -> Filter:
+    return Filter.new_simple(Column.single(FILTER))
+
+
+class MemoryStark(Stark):
+    num_columns = NUM_COLUMNS
+
+    def lookups(self):
+        return [Lookup(columns=(Column.single(RANGE_CHECK),),
+                       table_column=Column.single(COUNTER),
+                       frequencies_column=Column.single(FREQUENCIES),
+                       filter_columns=(None,))]
+
+    def eval_generic(self, a, lv, nv, consumer):
+        one = a.one
+        timestamp = lv[TIMESTAMP]
+        addr_c, addr_s, addr_v = lv[ADDR_CONTEXT], lv[ADDR_SEGMENT], \
+            lv[ADDR_VIRTUAL]
+        value = lv[VALUE]
+        n_timestamp = nv[TIMESTAMP]
+        n_is_read = nv[IS_READ]
+        n_addr_c, n_addr_s, n_addr_v = nv[ADDR_CONTEXT], nv[ADDR_SEGMENT], \
+            nv[ADDR_VIRTUAL]
+        n_value = nv[VALUE]
+
+        filt = lv[FILTER]
+        consumer.constraint(a.mul(filt, a.sub(filt, one)))
+
+        cfc = lv[CONTEXT_FIRST_CHANGE]
+        sfc = lv[SEGMENT_FIRST_CHANGE]
+        vfc = lv[VIRTUAL_FIRST_CHANGE]
+        unchanged = a.sub(a.sub(a.sub(one, cfc), sfc), vfc)
+        rc = lv[RANGE_CHECK]
+
+        # booleanity of the flags (incl. derived 'unchanged')
+        for f in (cfc, sfc, vfc, unchanged):
+            consumer.constraint(a.mul(f, a.sub(one, f)))
+
+        # no change before the first-change column
+        dc = a.sub(n_addr_c, addr_c)
+        ds = a.sub(n_addr_s, addr_s)
+        dv = a.sub(n_addr_v, addr_v)
+        consumer.constraint_transition(a.mul(sfc, dc))
+        consumer.constraint_transition(a.mul(vfc, dc))
+        consumer.constraint_transition(a.mul(vfc, ds))
+        consumer.constraint_transition(a.mul(unchanged, dc))
+        consumer.constraint_transition(a.mul(unchanged, ds))
+        consumer.constraint_transition(a.mul(unchanged, dv))
+
+        # range_check equals the delta of the first changing column
+        computed = a.add(
+            a.add(a.mul(cfc, a.sub(dc, one)), a.mul(sfc, a.sub(ds, one))),
+            a.add(a.mul(vfc, a.sub(dv, one)),
+                  a.mul(unchanged, a.sub(n_timestamp, timestamp))))
+        consumer.constraint_transition(a.sub(rc, computed))
+
+        # read-after-write consistency at an unchanged address
+        consumer.constraint_transition(
+            a.mul(a.mul(n_is_read, unchanged), a.sub(n_value, value)))
