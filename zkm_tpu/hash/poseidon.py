@@ -106,9 +106,17 @@ def _partial_round(state: gl.Gf, rc: gl.Gf) -> gl.Gf:
 def permute(state: gl.Gf) -> gl.Gf:
     """The full 30-round Poseidon permutation on (..., 12) states.
 
-    Rounds run under `lax.scan` (compiler-friendly: one round body compiled
-    per phase instead of a 30x-unrolled graph).
+    On TPU, large 2-D batches dispatch to the Pallas kernel
+    (zkm_tpu/ops/pallas_poseidon.py; ~5.5x the XLA path — the whole
+    permutation stays in VMEM).  Elsewhere: rounds under `lax.scan`
+    (compiler-friendly: one round body compiled per phase instead of a
+    30x-unrolled graph).
     """
+    lo = state[0]
+    if (lo.ndim == 2 and lo.shape[0] % 128 == 0
+            and jax.default_backend() == "tpu"):
+        from ..ops import pallas_poseidon
+        return pallas_poseidon.permute_batch(state, use_pallas=True)
     h = C.HALF_N_FULL_ROUNDS
     p = C.N_PARTIAL_ROUNDS
 
