@@ -94,6 +94,20 @@ def _arith_ops():
     ops.append(arith.Op(arith.IS_SLT, 0x80000000, 0x7FFFFFFF))
     ops.append(arith.Op(arith.IS_SLT, 0x7FFFFFFF, 0x80000000))
     ops.append(arith.Op(arith.IS_SLTU, 5, 5))
+    for _ in range(8):
+        a = int(rng.integers(0, 1 << 32))
+        b = int(rng.integers(0, 1 << 32))
+        ops.append(arith.Op(arith.IS_MUL, a, b))
+        ops.append(arith.Op(arith.IS_MULT, a, b))
+        ops.append(arith.Op(arith.IS_MULTU, a, b))
+        ops.append(arith.Op(arith.IS_LUI, a & 0xFFFF, 1 << 16))
+    ops.append(arith.Op(arith.IS_MULT, 0xFFFFFFFF, 0xFFFFFFFF))
+    ops.append(arith.Op(arith.IS_MULT, 0x80000000, 0x80000000))
+    ops.append(arith.Op(arith.IS_MULTU, 0xFFFFFFFF, 0xFFFFFFFF))
+    ops.append(arith.Op(arith.IS_MUL, 0xFFFF, 0x10001))
+    ops.append(arith.Op(arith.IS_SLL, 4, 0xDEADBEEF))
+    ops.append(arith.Op(arith.IS_SLL, 0, 0x12345678))
+    ops.append(arith.Op(arith.IS_SLLV, 31, 0xFFFFFFFF))
     return ops
 
 

@@ -61,9 +61,21 @@ NUM_COLUMNS = START_SHARED_COLS + NUM_SHARED_COLS + 10
 
 RANGE_MIN_ROWS = 1 << 16   # counter must cover all 16-bit values
 
+# mul/mult column aliases (overlapping shared-col reuse, columns.rs)
+MUL_AUX_INPUT_LO = AUX_INPUT_REGISTER_0
+MUL_AUX_INPUT_HI = AUX_INPUT_REGISTER_1
+OUTPUT_REGISTER_LO = OUTPUT_REGISTER
+OUTPUT_REGISTER_HI = _rng(OUTPUT_REGISTER.stop, N_LIMBS)
+MULT_AUX_LO = _rng(OUTPUT_REGISTER_HI.stop, 2 * N_LIMBS)
+MULT_AUX_HI = _rng(MULT_AUX_LO.stop, 2 * N_LIMBS)
+AUX_COEFF_ABS_MAX = 1 << 20
+
 ADDCY_OPS = {IS_ADD, IS_ADDU, IS_ADDI, IS_ADDIU, IS_SUB, IS_SUBU}
 SLT_OPS = {IS_SLT, IS_SLTU, IS_SLTI, IS_SLTIU}
 LO_HI_OPS = {IS_MFHI, IS_MTHI, IS_MFLO, IS_MTLO}
+MUL_OPS = {IS_MUL, IS_LUI}
+MULT_OPS = {IS_MULT, IS_MULTU}
+SLL_OPS = {IS_SLL, IS_SLLV}
 
 
 def _limbs(v: int) -> Tuple[int, int]:
@@ -71,7 +83,9 @@ def _limbs(v: int) -> Tuple[int, int]:
 
 
 class Op:
-    """One arithmetic operation: (flag, input0, input1, result)."""
+    """One arithmetic operation: (flag, input0, input1, result).
+
+    For MULT/MULTU `result` is the 64-bit hi:lo accumulator."""
 
     def __init__(self, flag: int, in0: int, in1: int, result: int = None):
         self.flag = flag
@@ -79,7 +93,8 @@ class Op:
         self.in1 = in1 & 0xFFFFFFFF
         if result is None:
             result = self._compute()
-        self.result = result & 0xFFFFFFFF
+        mask = 0xFFFFFFFFFFFFFFFF if flag in MULT_OPS else 0xFFFFFFFF
+        self.result = result & mask
 
     def _compute(self) -> int:
         a, b = self.in0, self.in1
@@ -95,7 +110,90 @@ class Op:
             return int(sa < sb)
         if self.flag in LO_HI_OPS:
             return a
+        if self.flag == IS_MUL:
+            return (a * b) & 0xFFFFFFFF
+        if self.flag == IS_LUI:
+            return (a << 16) & 0xFFFFFFFF
+        if self.flag == IS_MULTU:
+            return a * b
+        if self.flag == IS_MULT:
+            sa = a - (1 << 32) if a >> 31 else a
+            sb = b - (1 << 32) if b >> 31 else b
+            return (sa * sb) & 0xFFFFFFFFFFFFFFFF
+        if self.flag in SLL_OPS:
+            # in0 = shift amount, in1 = value
+            return (b << (a & 0x1F)) & 0xFFFFFFFF
         raise NotImplementedError(f"op flag {self.flag}")
+
+
+def _pol_mul_lo(a: List[int], b: List[int]) -> List[int]:
+    n = len(a)
+    return [sum(a[i] * b[d - i] for i in range(d + 1)) for d in range(n)]
+
+
+def _carry_propagate(unreduced: List[int]):
+    """Returns (output 16-bit limbs, final carry)."""
+    out, cy = [], 0
+    for u in unreduced:
+        t = u + cy
+        cy = t >> LIMB_BITS
+        out.append(t & 0xFFFF)
+    return out, cy
+
+
+def _aux_limbs(unreduced: List[int], out: List[int], cy: int) -> List[int]:
+    """pol_remove_root_2exp of (unreduced - out), last limb = -cy."""
+    d = [u - o for u, o in zip(unreduced, out)]
+    n = len(d)
+    q = [0] * n
+    q[0] = -(d[0] >> LIMB_BITS)
+    for i in range(1, n - 1):
+        q[i] = (q[i - 1] - d[i]) >> LIMB_BITS
+    q[n - 1] = -cy
+    return q
+
+
+def _store_aux(row, q: List[int], lo_range, hi_range):
+    for i, c in enumerate(q):
+        v = c + AUX_COEFF_ABS_MAX
+        assert 0 <= v <= (1 << 21)
+        row[lo_range.start + i] = v & 0xFFFF
+        row[hi_range.start + i] = v >> 16
+
+
+def _gen_mul_row(row, a_limbs: List[int], b_limbs: List[int]):
+    """MUL / LUI: low-32 product with aux witness (mul.rs generate_mul)."""
+    unreduced = _pol_mul_lo(a_limbs, b_limbs)
+    out, cy = _carry_propagate(unreduced)
+    row[OUTPUT_REGISTER.start:OUTPUT_REGISTER.stop] = out
+    q = _aux_limbs(unreduced, out, cy)
+    _store_aux(row, q, MUL_AUX_INPUT_LO, MUL_AUX_INPUT_HI)
+
+
+def _gen_mult_row(row, flag: int, a: int, b: int):
+    """MULT / MULTU: 64-bit product into hi:lo (mult.rs)."""
+    a_l = list(_limbs(a))
+    b_l = list(_limbs(b))
+    if flag == IS_MULT:
+        a_neg = bool(a >> 31)
+        b_neg = bool(b >> 31)
+        row[AUX_EXTRA.start] = int(a_neg)
+        row[AUX_EXTRA.start + 1] = int(b_neg)
+        row[INPUT_REGISTER_2.start] = (a >> 16) ^ 0x8000
+        row[INPUT_REGISTER_2.start + 1] = (b >> 16) ^ 0x8000
+        pad_a = [0xFFFF] * N_LIMBS if a_neg else [0] * N_LIMBS
+        pad_b = [0xFFFF] * N_LIMBS if b_neg else [0] * N_LIMBS
+        left = a_l + pad_a
+        right = b_l + pad_b
+    else:
+        left = a_l + [0] * N_LIMBS
+        right = b_l + [0] * N_LIMBS
+    unreduced = _pol_mul_lo(left, right)
+    out, cy = _carry_propagate(unreduced)
+    row[OUTPUT_REGISTER_LO.start:OUTPUT_REGISTER_LO.stop] = out[:N_LIMBS]
+    row[OUTPUT_REGISTER_HI.start:OUTPUT_REGISTER_HI.stop] = out[N_LIMBS:]
+    q = _aux_limbs(unreduced, out, cy)
+    _store_aux(row, q, MULT_AUX_LO, MULT_AUX_HI)
 
 
 def generate_trace(ops: Sequence[Op], min_rows: int = RANGE_MIN_ROWS) -> gl.Gf:
@@ -129,6 +227,21 @@ def generate_trace(ops: Sequence[Op], min_rows: int = RANGE_MIN_ROWS) -> gl.Gf:
             rows[r, OUTPUT_REGISTER.start:OUTPUT_REGISTER.stop] = _limbs(c)
         elif op.flag in LO_HI_OPS:
             rows[r, OUTPUT_REGISTER.start:OUTPUT_REGISTER.stop] = _limbs(c)
+        elif op.flag in MUL_OPS:
+            b_eff = b if op.flag == IS_MUL else (1 << 16)
+            rows[r, INPUT_REGISTER_1.start:INPUT_REGISTER_1.stop] = \
+                _limbs(b_eff)
+            _gen_mul_row(rows[r], list(_limbs(a)), list(_limbs(b_eff)))
+        elif op.flag in MULT_OPS:
+            rows[r, INPUT_REGISTER_1.start:INPUT_REGISTER_1.stop] = _limbs(b)
+            _gen_mult_row(rows[r], op.flag, a, b)
+        elif op.flag in SLL_OPS:
+            # in0 = shift, in1 = value, in2 = 1 << shift; mul(in1, in2)
+            disp = 1 << (a & 0x1F)
+            rows[r, INPUT_REGISTER_1.start:INPUT_REGISTER_1.stop] = _limbs(b)
+            rows[r, INPUT_REGISTER_2.start:INPUT_REGISTER_2.stop] = \
+                _limbs(disp)
+            _gen_mul_row(rows[r], list(_limbs(b)), list(_limbs(disp)))
         else:
             raise NotImplementedError(f"op flag {op.flag}")
     # range-check columns: counter = min(i, 2^16-1); every shared-col value
@@ -192,6 +305,8 @@ class ArithmeticStark(Stark):
         self._eval_addcy(a, lv, consumer)
         self._eval_slt(a, lv, consumer)
         self._eval_lo_hi(a, lv, consumer)
+        self._eval_mul_family(a, lv, consumer)
+        self._eval_mult_family(a, lv, consumer)
 
     # -- addcy: X + Y == Z + CY * 2^32 --------------------------------------
 
@@ -257,6 +372,79 @@ class ArithmeticStark(Stark):
             consumer.constraint(
                 a.mul(is_lt, a.mul(given_cy[i], a.sub(one, sign))))
             consumer.constraint_transition(a.mul(is_lt, rd[i]))
+
+    # -- mul family: c(x) == a(x)b(x) - (x - beta) s(x)  (mul.rs) ----------
+
+    def _aux_from_cols(self, a, lv, lo_range, hi_range, count):
+        return [a.sub(a.add(lv[lo_range.start + i],
+                            a.mul_const(lv[hi_range.start + i], BASE)),
+                      a.constant(AUX_COEFF_ABS_MAX))
+                for i in range(count)]
+
+    def _eval_product_check(self, a, consumer, filt, left, right, out, aux):
+        """pol_mul_lo(left,right) - out - (x - beta)*aux == 0 coeff-wise."""
+        n = len(left)
+        for d in range(n):
+            acc = a.zero
+            for i in range(d + 1):
+                acc = a.add(acc, a.mul(left[i], right[d - i]))
+            acc = a.sub(acc, out[d])
+            if d == 0:
+                adjoin = a.mul_const(aux[0], P - BASE)
+            else:
+                adjoin = a.sub(aux[d - 1], a.mul_const(aux[d], BASE))
+            acc = a.sub(acc, adjoin)
+            consumer.constraint(a.mul(filt, acc))
+
+    def _eval_mul_family(self, a, lv, consumer):
+        left = [lv[c] for c in INPUT_REGISTER_0]
+        right = [lv[c] for c in INPUT_REGISTER_1]
+        out = [lv[c] for c in OUTPUT_REGISTER]
+        aux = self._aux_from_cols(a, lv, MUL_AUX_INPUT_LO, MUL_AUX_INPUT_HI,
+                                  N_LIMBS)
+        for flag in (IS_MUL, IS_LUI):
+            self._eval_product_check(a, consumer, lv[flag], left, right,
+                                     out, aux)
+        # SLL(V): value (IN1) * shifted displacement (IN2) via the same aux
+        sll = a.add(lv[IS_SLL], lv[IS_SLLV])
+        in2 = [lv[c] for c in INPUT_REGISTER_2]
+        self._eval_product_check(a, consumer, sll, right, in2, out, aux)
+
+    # -- mult family: 64-bit product into hi:lo (mult.rs) -------------------
+
+    def _eval_mult_family(self, a, lv, consumer):
+        one = a.one
+        in0 = [lv[c] for c in INPUT_REGISTER_0]
+        in1 = [lv[c] for c in INPUT_REGISTER_1]
+        out = [lv[c] for c in OUTPUT_REGISTER_LO] + \
+            [lv[c] for c in OUTPUT_REGISTER_HI]
+        aux = self._aux_from_cols(a, lv, MULT_AUX_LO, MULT_AUX_HI,
+                                  2 * N_LIMBS)
+
+        # MULT (signed): witness sign bits + range-checked sum columns
+        filt = lv[IS_MULT]
+
+        def sign_extend(is_neg_col, sum_col, limbs):
+            is_neg = lv[is_neg_col]
+            consumer.constraint(a.mul(filt, a.mul(is_neg, a.sub(one, is_neg))))
+            s = lv[sum_col]
+            hi = limbs[N_LIMBS - 1]
+            consumer.constraint(a.mul(filt, a.sub(
+                a.add(hi, a.constant(1 << (LIMB_BITS - 1))),
+                a.add(s, a.mul_const(is_neg, BASE)))))
+            pad = a.mul_const(is_neg, 0xFFFF)
+            return limbs + [pad] * N_LIMBS
+
+        left = sign_extend(AUX_EXTRA.start, INPUT_REGISTER_2.start, in0)
+        right = sign_extend(AUX_EXTRA.start + 1, INPUT_REGISTER_2.start + 1,
+                            in1)
+        self._eval_product_check(a, consumer, filt, left, right, out, aux)
+
+        # MULTU (unsigned): zero-extended inputs
+        z = a.zero
+        self._eval_product_check(a, consumer, lv[IS_MULTU],
+                                 in0 + [z] * N_LIMBS, in1 + [z] * N_LIMBS,
+                                 out, aux)
 
     # -- lo/hi moves --------------------------------------------------------
 

@@ -99,6 +99,19 @@ def extract_witness(ist: InstrumentedState, max_steps: int) -> WitnessLog:
             elif opcode == 0 and fun in _ARITH_FUNS:
                 flag = _ARITH_FUNS[fun]
                 log.arith_ops.append(arith.Op(flag, rs_v, rt_v))
+            elif opcode == 0 and fun == 0x18:
+                log.arith_ops.append(arith.Op(arith.IS_MULT, rs_v, rt_v))
+            elif opcode == 0 and fun == 0x19:
+                log.arith_ops.append(arith.Op(arith.IS_MULTU, rs_v, rt_v))
+            elif opcode == 0x1C and fun == 2:
+                log.arith_ops.append(arith.Op(arith.IS_MUL, rs_v, rt_v))
+            elif opcode == 0 and fun == 0:     # sll (incl. nop encodings)
+                shamt = (insn >> 6) & 0x1F
+                log.arith_ops.append(arith.Op(arith.IS_SLL, shamt, rt_v))
+            elif opcode == 0 and fun == 4:     # sllv
+                log.arith_ops.append(arith.Op(arith.IS_SLLV, rs_v, rt_v))
+            elif opcode == 0xF:
+                log.arith_ops.append(arith.Op(arith.IS_LUI, imm, 1 << 16))
             elif opcode in _ARITH_IMM_OPS:
                 flag = _ARITH_IMM_OPS[opcode]
                 log.arith_ops.append(arith.Op(flag, rs_v, _sign_ext16(imm)))
