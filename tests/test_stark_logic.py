@@ -61,6 +61,19 @@ def test_logic_prove_verify():
     bad.stark_proofs[0].proof.openings.local_values[0][0] = orig
 
 
+def test_logic_standard_config():
+    """Production parameters (rate 4, cap 16, arity-16 folds, 37 queries,
+    16-bit PoW) on a 2^8-row trace."""
+    ops = OPS * 20
+    trace = logic.generate_trace(ops, min_rows=256)
+    stark = logic.LogicStark()
+    config = StarkConfig.standard_fast_config()
+    ctls = [_self_ctl()]
+    proof = prove_with_traces([stark], config, [trace], ctls,
+                              _public_values())
+    verify_proof([stark], proof, ctls, config)
+
+
 def test_logic_bad_trace_fails_check():
     ops = list(OPS)
     trace = logic.generate_trace(ops, min_rows=16)

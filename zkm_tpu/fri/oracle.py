@@ -117,18 +117,23 @@ def _ext_powers_device(z: gl2.Gf2, n: int) -> gl2.Gf2:
 @partial(jax.jit, static_argnums=(0,))
 def _batch_quotient_core(ranges, oracle_leaves, alpha_pows: gl2.Gf2,
                          cz: gl2.Gf2, z: gl2.Gf2, xs: gl.Gf) -> gl2.Gf2:
-    """(sum_i alpha^i p_i(x) - comp(z)) / (x - z) over the LDE leaves."""
+    """(sum_i alpha^i p_i(x) - comp(z)) / (x - z) over the LDE leaves.
+
+    Vectorized per column range: one broadcast multiply + log-depth
+    reduction instead of a per-column multiply chain (hundreds of columns
+    would otherwise dominate trace/compile time)."""
     m = xs[0].shape[0]
     acc = None
     i = 0
     for r in ranges:
         leaves = oracle_leaves[r.oracle]  # (M, C)
-        for c in range(r.start, r.stop):
-            col = gl.getitem(leaves, (slice(None), c))
-            a = gl2.getitem(alpha_pows, i)
-            term = (gl.mul(col, a[0]), gl.mul(col, a[1]))
-            acc = term if acc is None else gl2.add(acc, term)
-            i += 1
+        sub = gl.getitem(leaves, (slice(None), slice(r.start, r.stop)))
+        a0 = gl.getitem(alpha_pows[0], slice(i, i + r.count))  # (k,)
+        a1 = gl.getitem(alpha_pows[1], slice(i, i + r.count))
+        term = (gl.sum_axis(gl.mul(sub, a0), -1),
+                gl.sum_axis(gl.mul(sub, a1), -1))
+        acc = term if acc is None else gl2.add(acc, term)
+        i += r.count
     num = gl2.sub(acc, cz)
     den = gl2.sub((xs, gl.zeros((m,))), z)
     return gl2.mul(num, gl2.inverse(den))
