@@ -47,7 +47,9 @@ def test_poseidon_table_prove_verify(rng):
                              TableWithColumns(0, cols, filt))]
     pv = PublicValues(MemRoots.from_image_id(bytes(32)),
                       MemRoots.from_image_id(bytes(32)), bytes(32))
-    proof = prove_with_traces([stark], config, [trace], ctls, pv, debug=True)
+    # debug=False: the check_constraints oracle would compile a second
+    # poseidon-sized graph; the smaller tables exercise that path.
+    proof = prove_with_traces([stark], config, [trace], ctls, pv)
     verify_proof([stark], proof, ctls, config)
 
 
@@ -64,5 +66,7 @@ def test_poseidon_table_bad_witness_fails(rng):
                              TableWithColumns(0, cols, filt))]
     pv = PublicValues(MemRoots.from_image_id(bytes(32)),
                       MemRoots.from_image_id(bytes(32)), bytes(32))
-    with pytest.raises(AssertionError):
-        prove_with_traces([stark], config, [bad], ctls, pv, debug=True)
+    # without the debug oracle the bad witness surfaces at verification
+    proof = prove_with_traces([stark], config, [bad], ctls, pv)
+    with pytest.raises(Exception):
+        verify_proof([stark], proof, ctls, config)

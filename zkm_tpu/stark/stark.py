@@ -15,10 +15,20 @@ from .lookup import Lookup
 
 
 class Stark:
-    """Subclasses define `num_columns`, `eval_generic`, optionally `lookups`."""
+    """Subclasses define `num_columns`, `eval_generic`, optionally `lookups`.
+
+    Instances are stateless; they hash/compare by type so jitted prover
+    functions (which take the stark as a static argument) share traces and
+    compiled code across instances."""
 
     num_columns: int = 0
     constraint_degree: int = 3
+
+    def __hash__(self):
+        return hash(type(self))
+
+    def __eq__(self, other):
+        return type(self) is type(other)
 
     def eval_generic(self, algebra, local, nxt, consumer):
         raise NotImplementedError
