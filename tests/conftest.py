@@ -9,6 +9,9 @@ virtual mesh (the driver separately dry-runs
 
 import os
 
+# Silence XLA's per-load AOT-cache machine-feature notices (glog ERROR spam).
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
 # Must be set before the first jax backend initialization.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
