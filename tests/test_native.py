@@ -44,6 +44,27 @@ def test_native_open_mips_conformance():
 
 
 @requires_core
+def test_native_segmentation_chains():
+    """Native-core segmentation of the hello ELF: receipts must chain and
+    reach the same final image id as the Python path (split boundaries are
+    a prover choice and may differ)."""
+    elf = "/root/reference/emulator/test-vectors/hello"
+    if not os.path.exists(elf):
+        pytest.skip("hello ELF not available")
+    from zkm_tpu.emulator.utils import load_elf_with_patch, \
+        split_prog_into_segs
+    finals = []
+    for native in (False, True):
+        state = load_elf_with_patch(elf, ["x"], native=native)
+        total, segs, _ = split_prog_into_segs(state, None, "",
+                                              seg_size=1 << 17)
+        for a, b in zip(segs, segs[1:]):
+            assert a.image_id == b.pre_image_id
+        finals.append((total, segs[-1].image_id))
+    assert finals[0] == finals[1]
+
+
+@requires_core
 def test_native_matches_python_on_hello():
     """Run the Go hello ELF on both backends; final state must agree."""
     elf = "/root/reference/emulator/test-vectors/hello"

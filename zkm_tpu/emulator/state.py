@@ -164,9 +164,9 @@ class State:
     # -- loading -------------------------------------------------------------
 
     @staticmethod
-    def load_elf_bytes(data: bytes) -> "State":
+    def load_elf_bytes(data: bytes, native: bool = False) -> "State":
         f = parse_elf(data)
-        s = State()
+        s = State(native=native)
         s.pc = f.entry & M32
         s.next_pc = (f.entry + 4) & M32
         s.heap = 0x20000000

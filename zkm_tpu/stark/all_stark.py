@@ -21,6 +21,7 @@ from typing import Dict, List, Optional, Sequence
 from ..tables import arithmetic as arith_mod
 from ..tables import logic as logic_mod
 from ..tables import memory as memory_mod
+from ..tables import poseidon as poseidon_mod
 from .cross_table_lookup import CrossTableLookup, TableWithColumns
 
 
@@ -46,9 +47,15 @@ MIN_TRACE_LEN = 64
 # Tables with a working Stark implementation this round.
 IMPLEMENTED: Dict[Table, object] = {
     Table.Arithmetic: arith_mod.ArithmeticStark,
+    Table.Poseidon: poseidon_mod.PoseidonStark,
     Table.Logic: logic_mod.LogicStark,
     Table.Memory: memory_mod.MemoryStark,
 }
+
+# Default proving subset (host SDK): the tables the witness extractor
+# currently populates.  Poseidon joins once the sponge/bootstrap witness
+# fills it.
+DEFAULT_SUBSET = (Table.Arithmetic, Table.Logic, Table.Memory)
 
 
 @dataclass
@@ -74,17 +81,22 @@ def make_all_stark(subset: Optional[Sequence[Table]] = None,
     cpu<->logic, cpu<->arithmetic) cannot be expressed, so each table gets a
     self-CTL exercising the full aux/Z machinery.  The final CTL topology
     (15 lookups, all_stark.rs:136-154) replaces these as tables land."""
-    subset = list(subset) if subset is not None else sorted(IMPLEMENTED)
+    subset = list(subset) if subset is not None else list(DEFAULT_SUBSET)
     assert all(t in IMPLEMENTED for t in subset), "unimplemented table"
     starks = [IMPLEMENTED[t]() for t in subset]
 
+    _ctl_mods = {Table.Arithmetic: arith_mod, Table.Logic: logic_mod,
+                 Table.Memory: memory_mod}
     ctls = []
     if self_ctls:
         for local, t in enumerate(subset):
-            mod = {Table.Arithmetic: arith_mod, Table.Logic: logic_mod,
-                   Table.Memory: memory_mod}[t]
-            cols = tuple(mod.ctl_data())
-            filt = mod.ctl_filter()
+            if t in _ctl_mods:
+                mod = _ctl_mods[t]
+                cols = tuple(mod.ctl_data())
+                filt = mod.ctl_filter()
+            else:
+                cols = tuple(poseidon_mod.ctl_data_inputs())
+                filt = poseidon_mod.ctl_filter()
             ctls.append(CrossTableLookup(
                 (TableWithColumns(local, cols, filt),),
                 TableWithColumns(local, cols, filt)))
