@@ -4,12 +4,14 @@ Reference: /root/reference/prover/src/all_stark.rs — Table enum (12 tables,
 all_stark.rs:96-110), NUM_TABLES=12, MIN_TRACE_LEN=64, and the 15 CTLs
 (arithmetic, poseidon sponge/inputs/outputs, keccak sponge/inputs/outputs,
 sha-extend sponge/inputs/outputs, sha-compress sponge/inputs/outputs, logic,
-memory).
+memory — all_stark.rs:136-154).
 
-Round-1 status: Arithmetic, Logic, and Memory starks are implemented; the
-remaining tables are registered as placeholders (class + column counts land
-with their implementations).  `make_all_stark(subset=...)` builds a working
-system over any implemented subset so integration grows table by table.
+`make_all_stark(subset)` instantiates the system over any implemented subset
+with the *real* CTL topology restricted to the subset's tables: the CPU
+looking tables link Arithmetic, Logic and Memory to actual execution; the
+sponge CTLs join as their tables land.  Two extra CPU looking entries in
+the logic CTL strengthen the reference (imm logic ops + jumpi pc_remain,
+see tables/cpu/ctl.py).
 """
 
 from __future__ import annotations
@@ -22,6 +24,8 @@ from ..tables import arithmetic as arith_mod
 from ..tables import logic as logic_mod
 from ..tables import memory as memory_mod
 from ..tables import poseidon as poseidon_mod
+from ..tables.cpu import CpuStark
+from ..tables.cpu import ctl as cpu_ctl
 from .cross_table_lookup import CrossTableLookup, TableWithColumns
 
 
@@ -47,15 +51,15 @@ MIN_TRACE_LEN = 64
 # Tables with a working Stark implementation this round.
 IMPLEMENTED: Dict[Table, object] = {
     Table.Arithmetic: arith_mod.ArithmeticStark,
+    Table.Cpu: CpuStark,
     Table.Poseidon: poseidon_mod.PoseidonStark,
     Table.Logic: logic_mod.LogicStark,
     Table.Memory: memory_mod.MemoryStark,
 }
 
-# Default proving subset (host SDK): the tables the witness extractor
-# currently populates.  Poseidon joins once the sponge/bootstrap witness
-# fills it.
-DEFAULT_SUBSET = (Table.Arithmetic, Table.Logic, Table.Memory)
+# Default proving subset (host SDK): the tables the witness generator
+# currently populates end-to-end.
+DEFAULT_SUBSET = (Table.Arithmetic, Table.Cpu, Table.Logic, Table.Memory)
 
 
 @dataclass
@@ -63,7 +67,7 @@ class AllStark:
     """A STARK system over a (sub)set of the 12 tables.
 
     `tables` maps system-local indices 0..k-1 to Table ids; `starks` and
-    `ctls` use the local indices (so a 3-table subset proves standalone)."""
+    `ctls` use the local indices (so a 4-table subset proves standalone)."""
     tables: List[Table]
     starks: List[object]
     ctls: List[CrossTableLookup]
@@ -73,22 +77,77 @@ class AllStark:
         return len(self.tables)
 
 
-def make_all_stark(subset: Optional[Sequence[Table]] = None,
-                   self_ctls: bool = True) -> AllStark:
-    """Build the system over `subset` (default: all implemented tables).
+def _ctl_arithmetic(loc) -> CrossTableLookup:
+    """CPU (R-type + imm looking) <-> Arithmetic (all_stark.rs ctl_arithmetic)."""
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.Cpu],
+                          tuple(cpu_ctl.ctl_arithmetic_base_cols()),
+                          cpu_ctl.ctl_arithmetic_base_filter()),
+         TableWithColumns(loc[Table.Cpu],
+                          tuple(cpu_ctl.ctl_arithmetic_imm_cols()),
+                          cpu_ctl.ctl_arithmetic_imm_filter())),
+        TableWithColumns(loc[Table.Arithmetic],
+                         tuple(arith_mod.ctl_data()),
+                         arith_mod.ctl_filter()))
 
-    Until the CPU table lands, real cross-table links (cpu<->memory,
-    cpu<->logic, cpu<->arithmetic) cannot be expressed, so each table gets a
-    self-CTL exercising the full aux/Z machinery.  The final CTL topology
-    (15 lookups, all_stark.rs:136-154) replaces these as tables land."""
+
+def _ctl_logic(loc) -> CrossTableLookup:
+    """CPU (+imm +jumpi) and later sponge tables <-> Logic."""
+    looking = [
+        TableWithColumns(loc[Table.Cpu], tuple(cpu_ctl.ctl_logic_cols()),
+                         cpu_ctl.ctl_logic_filter()),
+        TableWithColumns(loc[Table.Cpu], tuple(cpu_ctl.ctl_logic_imm_cols()),
+                         cpu_ctl.ctl_logic_imm_filter()),
+        TableWithColumns(loc[Table.Cpu],
+                         tuple(cpu_ctl.ctl_logic_jumpi_cols()),
+                         cpu_ctl.ctl_logic_jumpi_filter()),
+    ]
+    # keccak-sponge xor and sha extend/compress logic lookups join here
+    # as those tables land (all_stark.rs:340-471)
+    return CrossTableLookup(
+        tuple(looking),
+        TableWithColumns(loc[Table.Logic], tuple(logic_mod.ctl_data()),
+                         logic_mod.ctl_filter()))
+
+
+def _ctl_memory(loc) -> CrossTableLookup:
+    """CPU GP channels (and later sponge byte reads) <-> Memory."""
+    looking = [
+        TableWithColumns(loc[Table.Cpu],
+                         tuple(cpu_ctl.ctl_gp_memory_cols(ch)),
+                         cpu_ctl.ctl_gp_memory_filter(ch))
+        for ch in range(cpu_ctl.cc.NUM_GP_CHANNELS)
+    ]
+    return CrossTableLookup(
+        tuple(looking),
+        TableWithColumns(loc[Table.Memory], tuple(memory_mod.ctl_data()),
+                         memory_mod.ctl_filter()))
+
+
+def make_all_stark(subset: Optional[Sequence[Table]] = None,
+                   self_ctls: bool = False) -> AllStark:
+    """Build the system over `subset` (default: DEFAULT_SUBSET).
+
+    With the CPU table present, the real CTL topology is used.  The legacy
+    `self_ctls` mode (a self-loop per table) remains only for subsets
+    without the CPU table — standalone table bring-up/testing."""
     subset = list(subset) if subset is not None else list(DEFAULT_SUBSET)
     assert all(t in IMPLEMENTED for t in subset), "unimplemented table"
     starks = [IMPLEMENTED[t]() for t in subset]
+    loc = {t: i for i, t in enumerate(subset)}
 
-    _ctl_mods = {Table.Arithmetic: arith_mod, Table.Logic: logic_mod,
-                 Table.Memory: memory_mod}
-    ctls = []
-    if self_ctls:
+    ctls: List[CrossTableLookup] = []
+    if Table.Cpu in loc and not self_ctls:
+        # reference CTL order: arithmetic, [sponges], logic, memory
+        if Table.Arithmetic in loc:
+            ctls.append(_ctl_arithmetic(loc))
+        if Table.Logic in loc:
+            ctls.append(_ctl_logic(loc))
+        if Table.Memory in loc:
+            ctls.append(_ctl_memory(loc))
+    else:
+        _ctl_mods = {Table.Arithmetic: arith_mod, Table.Logic: logic_mod,
+                     Table.Memory: memory_mod}
         for local, t in enumerate(subset):
             if t in _ctl_mods:
                 mod = _ctl_mods[t]

@@ -76,6 +76,10 @@ LO_HI_OPS = {IS_MFHI, IS_MTHI, IS_MFLO, IS_MTLO}
 MUL_OPS = {IS_MUL, IS_LUI}
 MULT_OPS = {IS_MULT, IS_MULTU}
 SLL_OPS = {IS_SLL, IS_SLLV}
+SRL_OPS = {IS_SRL, IS_SRLV}
+SRA_OPS = {IS_SRA, IS_SRAV}
+DIV_OPS = {IS_DIV, IS_DIVU}
+HILO_RESULT_OPS = MULT_OPS | DIV_OPS   # 64-bit (hi:lo) results
 
 
 def _limbs(v: int) -> Tuple[int, int]:
@@ -93,8 +97,16 @@ class Op:
         self.in1 = in1 & 0xFFFFFFFF
         if result is None:
             result = self._compute()
-        mask = 0xFFFFFFFFFFFFFFFF if flag in MULT_OPS else 0xFFFFFFFF
+        mask = 0xFFFFFFFFFFFFFFFF if flag in HILO_RESULT_OPS else 0xFFFFFFFF
         self.result = result & mask
+
+    def lo_hi(self) -> Tuple[int, int]:
+        """(lo, hi) halves of a 64-bit MULT/MULTU/DIV/DIVU result."""
+        return self.result & 0xFFFFFFFF, self.result >> 32
+
+    def num_rows(self) -> int:
+        """DIV and the right-shift families use a second witness row."""
+        return 2 if self.flag in (DIV_OPS | SRL_OPS | SRA_OPS) else 1
 
     def _compute(self) -> int:
         a, b = self.in0, self.in1
@@ -123,6 +135,30 @@ class Op:
         if self.flag in SLL_OPS:
             # in0 = shift amount, in1 = value
             return (b << (a & 0x1F)) & 0xFFFFFFFF
+        if self.flag in SRL_OPS:
+            return b >> (a & 0x1F)
+        if self.flag in SRA_OPS:
+            sh = a & 0x1F
+            sb = b - (1 << 32) if b >> 31 else b
+            return (sb >> sh) & 0xFFFFFFFF
+        if self.flag == IS_DIVU:
+            # emulator divu: D == 0 -> (lo, hi) = (0, N)
+            if b:
+                q, r = a // b, a % b
+            else:
+                q, r = 0, a
+            return (r << 32) | q
+        if self.flag == IS_DIV:
+            sa = a - (1 << 32) if a >> 31 else a
+            sb = b - (1 << 32) if b >> 31 else b
+            if sb:
+                q = abs(sa) // abs(sb)
+                if (sa < 0) != (sb < 0):
+                    q = -q
+                r = sa - q * sb
+            else:
+                q, r = 0, sa
+            return ((r & 0xFFFFFFFF) << 32) | (q & 0xFFFFFFFF)
         raise NotImplementedError(f"op flag {self.flag}")
 
 
@@ -197,10 +233,16 @@ def _gen_mult_row(row, flag: int, a: int, b: int):
 
 
 def generate_trace(ops: Sequence[Op], min_rows: int = RANGE_MIN_ROWS) -> gl.Gf:
-    n = max(len(ops), min_rows, 2)
+    return gl.from_u64(generate_rows(ops, min_rows))
+
+
+def generate_rows(ops: Sequence[Op],
+                  min_rows: int = RANGE_MIN_ROWS) -> np.ndarray:
+    n = max(sum(op.num_rows() for op in ops), min_rows, 2)
     n = 1 << (n - 1).bit_length()
     rows = np.zeros((n, NUM_COLUMNS), dtype=np.uint64)
-    for r, op in enumerate(ops):
+    r = 0
+    for op in ops:
         rows[r, op.flag] = 1
         a, b, c = op.in0, op.in1, op.result
         rows[r, INPUT_REGISTER_0.start:INPUT_REGISTER_0.stop] = _limbs(a)
@@ -242,8 +284,11 @@ def generate_trace(ops: Sequence[Op], min_rows: int = RANGE_MIN_ROWS) -> gl.Gf:
             rows[r, INPUT_REGISTER_2.start:INPUT_REGISTER_2.stop] = \
                 _limbs(disp)
             _gen_mul_row(rows[r], list(_limbs(b)), list(_limbs(disp)))
+        elif op.flag in DIV_OPS or op.flag in SRL_OPS or op.flag in SRA_OPS:
+            _gen_div_family_rows(rows, r, op)
         else:
             raise NotImplementedError(f"op flag {op.flag}")
+        r += op.num_rows()
     # range-check columns: counter = min(i, 2^16-1); every shared-col value
     # counts into the frequencies at its own row index.
     assert n >= RANGE_MIN_ROWS, "arithmetic trace must cover the 2^16 counter"
@@ -253,7 +298,12 @@ def generate_trace(ops: Sequence[Op], min_rows: int = RANGE_MIN_ROWS) -> gl.Gf:
     assert shared.max(initial=0) < (1 << 16), "shared column out of range"
     freq = np.bincount(shared.astype(np.int64), minlength=n)
     rows[:, RC_FREQUENCIES] = freq.astype(np.uint64)
-    return gl.from_u64(rows.T.copy())
+    return rows.T.copy()
+
+
+def _gen_div_family_rows(rows, r, op):
+    """DIV/DIVU and SRL/SRA families: two-row ops (milestone 3)."""
+    raise NotImplementedError(f"div/right-shift rows pending (flag {op.flag})")
 
 
 def ctl_filter() -> Filter:
@@ -261,22 +311,33 @@ def ctl_filter() -> Filter:
     return Filter.new_simple(Column.sum_cols(range(26)))
 
 
-def ctl_data() -> List[Column]:
-    """CPU-side CTL: opcode-combo column + inputs + output (packed u32s).
+# Per-flag opcode constants exactly as the CPU reconstructs them
+# (arithmetic_stark.rs:66-94 COMBINED_OPS): R-type ops are func<<6, imm ops
+# are the bare opcode, MUL is opcode|func<<6.
+CTL_OP_CONSTS = {
+    IS_ADD: 0b100000 << 6, IS_ADDU: 0b100001 << 6, IS_ADDI: 0b001000,
+    IS_ADDIU: 0b001001, IS_SUB: 0b100010 << 6, IS_SUBU: 0b100011 << 6,
+    IS_MULT: 0b011000 << 6, IS_MULTU: 0b011001 << 6,
+    IS_MUL: 0b011100 + (0b000010 << 6), IS_DIV: 0b011010 << 6,
+    IS_DIVU: 0b011011 << 6, IS_SLLV: 0b000100 << 6, IS_SRLV: 0b000110 << 6,
+    IS_SRAV: 0b000111 << 6, IS_SLL: 0, IS_SRL: 0b000010 << 6,
+    IS_SRA: 0b000011 << 6, IS_SLT: 0b101010 << 6, IS_SLTU: 0b101011 << 6,
+    IS_SLTI: 0b001010, IS_SLTIU: 0b001011, IS_LUI: 0b001111,
+    IS_MFHI: 0b010000 << 6, IS_MTHI: 0b010001 << 6, IS_MFLO: 0b010010 << 6,
+    IS_MTLO: 0b010011 << 6,
+}
 
-    Mirrors arithmetic_stark.rs ctl_arithmetic_rows: the first column
-    reconstructs opcode<<6|func per flag; operands are le-limb packed."""
-    op_consts = {
-        IS_ADD: 0b100000, IS_ADDU: 0b100001, IS_SUB: 0b100010,
-        IS_SUBU: 0b100011, IS_SLT: 0b101010, IS_SLTU: 0b101011,
-        IS_MFHI: 0b010000, IS_MTHI: 0b010001, IS_MFLO: 0b010010,
-        IS_MTLO: 0b010011,
-    }
+
+def ctl_data() -> List[Column]:
+    """Looked-side CTL: opcode-combo column + IN0 + IN1 + OUT (packed u32s).
+
+    Mirrors arithmetic_stark.rs ctl_arithmetic_rows: the first column pins
+    the per-flag opcode<<6|func constant; operands are le-limb packed."""
     combo = Column.linear_combination(
-        [(flag, const) for flag, const in op_consts.items()])
+        [(flag, const) for flag, const in CTL_OP_CONSTS.items()
+         if const != 0])
     cols = [combo]
-    for reg in (INPUT_REGISTER_0, INPUT_REGISTER_1, INPUT_REGISTER_2,
-                OUTPUT_REGISTER):
+    for reg in (INPUT_REGISTER_0, INPUT_REGISTER_1, OUTPUT_REGISTER):
         cols.append(Column.linear_combination(
             [(c, 1 << (LIMB_BITS * i)) for i, c in enumerate(reg)]))
     return cols

@@ -45,6 +45,11 @@ def op_result(op: int, a: int, b: int) -> int:
 def generate_trace(operations: Sequence[Tuple[int, int, int]],
                    min_rows: int = 64) -> gl.Gf:
     """operations: (op, input0, input1) tuples -> (NUM_COLUMNS, N) trace."""
+    return gl.from_u64(generate_rows(operations, min_rows))
+
+
+def generate_rows(operations: Sequence[Tuple[int, int, int]],
+                  min_rows: int = 64) -> np.ndarray:
     n = max(len(operations), min_rows, 2)
     n = 1 << (n - 1).bit_length()
     rows = np.zeros((n, NUM_COLUMNS), dtype=np.uint64)
@@ -54,7 +59,7 @@ def generate_trace(operations: Sequence[Tuple[int, int, int]],
             rows[r, INPUT0.start + i] = (a >> i) & 1
             rows[r, INPUT1.start + i] = (b >> i) & 1
         rows[r, RESULT] = op_result(op, a, b)
-    return gl.from_u64(rows.T.copy())
+    return rows.T.copy()
 
 
 def ctl_data() -> List[Column]:

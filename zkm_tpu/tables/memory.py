@@ -92,6 +92,11 @@ def _coerce_r0(op: MemoryOp) -> MemoryOp:
 
 
 def generate_trace(ops: List[MemoryOp], min_rows: int = 64) -> gl.Gf:
+    return gl.from_u64(generate_rows(ops, min_rows))
+
+
+def generate_rows(ops: List[MemoryOp], min_rows: int = 64) -> np.ndarray:
+    """Raw (NUM_COLUMNS, N) uint64 trace values."""
     assert ops, "no memory ops"
     ops = [_coerce_r0(op) for op in ops]
     ops = sorted(ops, key=MemoryOp.sorting_key)
@@ -138,7 +143,7 @@ def generate_trace(ops: List[MemoryOp], min_rows: int = 64) -> gl.Gf:
     rows[:, COUNTER] = np.arange(n, dtype=np.uint64)
     for r in range(n):
         rows[int(rows[r, RANGE_CHECK]), FREQUENCIES] += 1
-    return gl.from_u64(rows.T.copy())
+    return rows.T.copy()
 
 
 def ctl_data() -> List[Column]:
