@@ -18,7 +18,8 @@ from typing import List, Optional
 
 from .emulator.state import InstrumentedState, Segment, State
 from .emulator.utils import load_elf_with_patch, split_prog_into_segs
-from .stark.all_stark import AllStark, make_all_stark
+from .field import goldilocks as gl
+from .stark.all_stark import AllStark, Table, make_all_stark
 from .stark.config import StarkConfig
 from .stark.proof import AllProof, MemRoots, PublicValues
 from .stark.prover import prove_with_traces
@@ -26,7 +27,7 @@ from .stark.verifier import verify_proof
 from .tables import arithmetic as arith
 from .tables import logic
 from .tables import memory as mem
-from .witness.extract import extract_witness
+from .witness.generation import generate_segment_traces
 
 
 @dataclass
@@ -47,32 +48,27 @@ def public_values_for_segment(seg: Segment) -> PublicValues:
         userdata=userdata)
 
 
+def segment_traces(seg: Segment, all_stark: AllStark,
+                   block_path: str = "") -> List:
+    """Witness generation + per-table trace building for the subset."""
+    t = generate_segment_traces(seg, block_path=block_path)
+    builders = {
+        Table.Arithmetic: lambda: arith.generate_trace(t.arith_ops),
+        Table.Cpu: lambda: gl.from_u64(t.cpu_rows.T.copy()),
+        Table.Logic: lambda: logic.generate_trace(t.logic_ops),
+        Table.Memory: lambda: mem.generate_trace(t.memory_ops),
+    }
+    return [builders[tab]() for tab in all_stark.tables]
+
+
 def prove_segment(seg: Segment, config: Optional[StarkConfig] = None,
                   all_stark: Optional[AllStark] = None,
-                  debug: bool = False) -> SegmentReceipt:
+                  debug: bool = False,
+                  block_path: str = "") -> SegmentReceipt:
     """Re-execute a segment and prove the implemented tables over it."""
     config = config or StarkConfig.standard_fast_config()
     all_stark = all_stark or make_all_stark()
-
-    state, steps = State.load_seg(seg)
-    ist = InstrumentedState(state, "")
-    log = extract_witness(ist, max_steps=steps)
-    if log.num_steps != steps:
-        raise RuntimeError(
-            f"segment replay mismatch: {log.num_steps} != {steps}")
-
-    from .stark.all_stark import Table
-    traces = []
-    for t in all_stark.tables:
-        if t == Table.Arithmetic:
-            traces.append(arith.generate_trace(log.arith_ops))
-        elif t == Table.Logic:
-            traces.append(logic.generate_trace(log.logic_ops))
-        elif t == Table.Memory:
-            traces.append(mem.generate_trace(log.memory_ops))
-        else:
-            raise NotImplementedError(f"table {t}")
-
+    traces = segment_traces(seg, all_stark, block_path)
     pv = public_values_for_segment(seg)
     proof = prove_with_traces(all_stark.starks, config, traces,
                               all_stark.ctls, pv, debug=debug)

@@ -279,11 +279,19 @@ def generate_rows(ops: Sequence[Op],
             _gen_mult_row(rows[r], op.flag, a, b)
         elif op.flag in SLL_OPS:
             # in0 = shift, in1 = value, in2 = 1 << shift; mul(in1, in2)
-            disp = 1 << (a & 0x1F)
+            low = a & 0x1F
+            disp = 1 << low
             rows[r, INPUT_REGISTER_1.start:INPUT_REGISTER_1.stop] = _limbs(b)
             rows[r, INPUT_REGISTER_2.start:INPUT_REGISTER_2.stop] = \
                 _limbs(disp)
             _gen_mul_row(rows[r], list(_limbs(b)), list(_limbs(disp)))
+            # power-chain witness binding IN2 = 2^(IN0 & 31)
+            rows[r, SLL_HIGH.start:SLL_HIGH.stop] = _limbs((a - low) >> 5)
+            for i in range(5):
+                rows[r, EX_SHIFT_BITS.start + i] = (low >> i) & 1
+            rows[r, SLL_C[0]] = 1 << (low & 3)
+            rows[r, SLL_C[1]] = 1 << (low & 7)
+            rows[r, SLL_C[2]] = 1 << (low & 15)
         elif op.flag in DIV_OPS or op.flag in SRL_OPS or op.flag in SRA_OPS:
             _gen_div_family_rows(rows, r, op)
         else:
@@ -368,6 +376,10 @@ class ArithmeticStark(Stark):
         self._eval_lo_hi(a, lv, consumer)
         self._eval_mul_family(a, lv, consumer)
         self._eval_mult_family(a, lv, consumer)
+        self._eval_divu(a, lv, consumer)
+        self._eval_div(a, lv, nv, consumer)
+        self._eval_right_shift(a, lv, nv, consumer)
+        self._eval_sll_power_chain(a, lv, consumer)
 
     # -- addcy: X + Y == Z + CY * 2^32 --------------------------------------
 
@@ -514,3 +526,376 @@ class ArithmeticStark(Stark):
                      a.add(lv[IS_MFLO], lv[IS_MTLO]))
         for ci, co in zip(INPUT_REGISTER_0, OUTPUT_REGISTER):
             consumer.constraint(a.mul(filt, a.sub(lv[ci], lv[co])))
+
+
+# ---------------------------------------------------------------------------
+# DIV/DIVU and right-shift families (SRL/SRLV/SRA/SRAV).
+#
+# Original TPU-side design replacing the reference's modular-op machinery
+# (arithmetic/div.rs:18-192, sra.rs, shift.rs) with direct witness
+# equations — same statements proven, far fewer columns/constraints:
+#
+#   DIVU (1 row):  N = Q*D + R   (4-position limb identity w/ carry aux),
+#                  R < D when D != 0 (borrow chain), else Q=0, R=N.
+#   DIV  (2 rows): |N| = |Q|*|D| + |R| on witnessed absolute values with
+#                  sign bits bound via a range-checked top-limb sum;
+#                  sign(Q)=sign(N)^sign(D) unless Q=0; sign(R)=sign(N)
+#                  unless R=0; |R| < |D| or D=0.
+#   SRL/SRA (2 rows): x = y*2^s + r, r < 2^s, with 2^(s&31) built by a
+#                  constrained 5-bit power chain (closes the reference gap
+#                  where the 1<<s register is a free witness); SRA adds
+#                  result = y + x_neg*(2^32 - 2*w31), w31*2^s = 2^31.
+#
+# Row-2 ("continuation") shared columns hold aux values; they carry no op
+# flag, so only the range check applies to them.
+# ---------------------------------------------------------------------------
+
+# lv AUX_EXTRA roles (DIV/DIVU): [0]=opp, [2]=d_nz, [3]=Dinv,
+#   [4]=n_neg, [5]=d_neg, [6]=q_neg, [7]=r_neg
+# lv AUX_EXTRA roles (shifts):   [0..4]=shift bits, [5]=x_neg
+EX_OPP, EX_DNZ, EX_DINV = AUX_EXTRA.start, AUX_EXTRA.start + 2, \
+    AUX_EXTRA.start + 3
+EX_NNEG, EX_DNEG, EX_QNEG, EX_RNEG = (AUX_EXTRA.start + i
+                                      for i in range(4, 8))
+EX_SHIFT_BITS = range(AUX_EXTRA.start, AUX_EXTRA.start + 5)
+EX_XNEG = AUX_EXTRA.start + 5
+
+# shift lv shared layout: IN0=s, IN1=x, IN2=2^s, OUT=result,
+#   AUX0=y, AUX1=r, AUX2=slack, [14,15]=high, [16,17]=w31
+SH_HIGH = _rng(MULT_AUX_LO.stop, 2)          # shared cols 14-15
+SH_W31 = _rng(SH_HIGH.stop, 2)               # shared cols 16-17
+# shift nv row: [0]=x_sum, [1..3]=power-chain intermediates c1..c3
+NV_XSUM = START_SHARED_COLS
+NV_C = [START_SHARED_COLS + 1 + i for i in range(3)]
+# div nv row: IN0=|N|, IN1=|D|, IN2=|Q|, OUT=|R|, AUX0=slack,
+#   [10..13]=top-limb sums for N,D,Q,R
+DIV_SUMS = _rng(MULT_AUX_LO.start, 4)
+
+
+def _aux_zero_poly(p: List[int]) -> List[int]:
+    """q with p(x) = (x - 2^16) q(x); requires p(2^16) == 0."""
+    n = len(p)
+    q = []
+    prev = 0
+    for d in range(n):
+        cur = (prev - p[d])
+        assert cur % BASE == 0, "aux division not exact"
+        cur //= BASE
+        q.append(cur)
+        prev = cur
+    assert q[-1] == 0, "zero-poly aux has a top term"
+    return q
+
+
+def _store_offset_aux(row, q, lo_range, hi_range):
+    for i, c in enumerate(q):
+        v = c + AUX_COEFF_ABS_MAX
+        assert 0 <= v < (1 << 22)
+        row[lo_range.start + i] = v & 0xFFFF
+        row[hi_range.start + i] = v >> 16
+
+
+def _set_reg(row, rng_, v):
+    row[rng_.start:rng_.stop] = _limbs(v)
+
+
+def _gen_div_core(row, n, d, q, rem, slack_rng):
+    """Shared DIVU-style witness: product aux + R<D slack on `row`."""
+    qx = list(_limbs(q)) + [0, 0]
+    dx = list(_limbs(d)) + [0, 0]
+    p = _pol_mul_lo(qx, dx)
+    rl, nl = _limbs(rem), _limbs(n)
+    for i in range(2):
+        p[i] += rl[i] - nl[i]
+    aux = _aux_zero_poly(p)
+    _store_offset_aux(row, aux, MULT_AUX_LO, MULT_AUX_HI)
+    if d:
+        s = d - rem - 1
+    else:
+        s = (1 << 32) - rem - 1
+    _set_reg(row, slack_rng, s)
+
+
+def _gen_div_family_rows(rows, r, op):
+    a, b = op.in0, op.in1
+    lo, hi = op.lo_hi()
+    lv = rows[r]
+    if op.flag == IS_DIVU:
+        n, d, q, rem = a, b, lo, hi
+        _set_reg(lv, INPUT_REGISTER_0, n)
+        _set_reg(lv, INPUT_REGISTER_1, d)
+        _set_reg(lv, OUTPUT_REGISTER, q)
+        _set_reg(lv, AUX_INPUT_REGISTER_0, rem)
+        lv[EX_DNZ] = int(d != 0)
+        lv[EX_DINV] = _finv_host(d)
+        _gen_div_core(lv, n, d, q, rem, INPUT_REGISTER_2)
+    elif op.flag == IS_DIV:
+        nv = rows[r + 1]
+        n, d, q, rem = a, b, lo, hi
+        _set_reg(lv, INPUT_REGISTER_0, n)
+        _set_reg(lv, INPUT_REGISTER_1, d)
+        _set_reg(lv, OUTPUT_REGISTER, q)
+        _set_reg(lv, AUX_INPUT_REGISTER_0, rem)
+        # N/D signs come from their top bits; Q/R signs are semantic (the
+        # -2^31 / -1 overflow makes Q = 0x80000000 with |Q| = 2^31, sign +)
+        sn = n - (1 << 32) if n >> 31 else n
+        sd = d - (1 << 32) if d >> 31 else d
+        if sd:
+            sq = abs(sn) // abs(sd) * (-1 if (sn < 0) != (sd < 0) else 1)
+            sr = sn - sq * sd
+        else:
+            sq, sr = 0, sn
+        n_neg, d_neg = n >> 31, d >> 31
+        q_neg, r_neg = int(sq < 0), int(sr < 0)
+        abss = [abs(sn), abs(sd), abs(sq), abs(sr)]
+        lv[EX_NNEG], lv[EX_DNEG] = n_neg, d_neg
+        lv[EX_QNEG], lv[EX_RNEG] = q_neg, r_neg
+        _set_reg(nv, INPUT_REGISTER_0, abss[0])
+        _set_reg(nv, INPUT_REGISTER_1, abss[1])
+        _set_reg(nv, INPUT_REGISTER_2, abss[2])
+        _set_reg(nv, OUTPUT_REGISTER, abss[3])
+        nv[DIV_SUMS.start] = ((n >> 16) ^ 0x8000) & 0xFFFF
+        nv[DIV_SUMS.start + 1] = ((d >> 16) ^ 0x8000) & 0xFFFF
+        lv[EX_OPP] = n_neg ^ d_neg
+        lv[EX_DNZ] = int(abss[1] != 0)
+        lv[EX_DINV] = _finv_host(abss[1])
+        _gen_div_core(lv, abss[0], abss[1], abss[2], abss[3],
+                      INPUT_REGISTER_2)
+    else:   # SRL/SRLV/SRA/SRAV
+        nv = rows[r + 1]
+        s, x, result = a, b, lo
+        low = s & 0x1F
+        high = (s - low) >> 5
+        y = x >> low
+        rem = x - (y << low)
+        _set_reg(lv, INPUT_REGISTER_0, s)
+        _set_reg(lv, INPUT_REGISTER_1, x)
+        _set_reg(lv, INPUT_REGISTER_2, 1 << low)
+        _set_reg(lv, OUTPUT_REGISTER, result)
+        _set_reg(lv, AUX_INPUT_REGISTER_0, y)
+        _set_reg(lv, AUX_INPUT_REGISTER_1, rem)
+        _set_reg(lv, AUX_INPUT_REGISTER_2, (1 << low) - rem - 1)
+        _set_reg(lv, SH_HIGH, high)
+        for i in range(5):
+            lv[EX_SHIFT_BITS.start + i] = (low >> i) & 1
+        # power chain c1 = 2^(low&3), c2 = 2^(low&7), c3 = 2^(low&15)
+        nv[NV_C[0]] = 1 << (low & 3)
+        nv[NV_C[1]] = 1 << (low & 7)
+        nv[NV_C[2]] = 1 << (low & 15)
+        if op.flag in SRA_OPS:
+            x_neg = x >> 31
+            lv[EX_XNEG] = x_neg
+            _set_reg(lv, SH_W31, 1 << (31 - low))
+            nv[NV_XSUM] = ((x >> 16) ^ 0x8000) & 0xFFFF
+
+
+def _finv_host(x: int) -> int:
+    x %= P
+    return 0 if x == 0 else pow(x, P - 2, P)
+
+
+# SLL single-row power-chain columns (free slots in the mul layout)
+SLL_HIGH = AUX_INPUT_REGISTER_2              # shared 12-13
+SLL_C = [MULT_AUX_HI.start, MULT_AUX_HI.start + 1, MULT_AUX_HI.start + 2]
+
+_POW_TERM = [(1 << (1 << i)) - 1 for i in range(5)]   # 1,3,15,255,65535
+
+
+def _mixin_div_shift(cls):
+    """Constraint methods for the div/right-shift families (appended to
+    ArithmeticStark below; kept out of the class body for readability)."""
+
+    def _p(self, a, v, rng_):
+        return a.add(v[rng_.start], a.mul_const(v[rng_.start + 1], BASE))
+
+    def _eval_product_acc(self, a, consumer, filt, left, right, addend,
+                          out, aux):
+        """pol_mul_lo(left,right) + addend - out - (x-2^16)*aux == 0."""
+        n = len(left)
+        for d in range(n):
+            acc = a.zero
+            for i in range(d + 1):
+                acc = a.add(acc, a.mul(left[i], right[d - i]))
+            acc = a.add(acc, addend[d])
+            acc = a.sub(acc, out[d])
+            if d == 0:
+                adjoin = a.mul_const(aux[0], P - BASE)
+            else:
+                adjoin = a.sub(aux[d - 1], a.mul_const(aux[d], BASE))
+            acc = a.sub(acc, adjoin)
+            consumer.constraint(a.mul(filt, acc))
+
+    def _borrow_chain(self, a, consumer, filt, x, s, d):
+        """x + s + 1 == d + cy*2^32 over limbs; returns cy (deg 1)."""
+        one = a.one
+        cy = a.zero
+        for i in range(N_LIMBS):
+            t = a.sub(a.add(a.add(cy, x[i]), s[i]), d[i])
+            if i == 0:
+                t = a.add(t, one)
+            consumer.constraint(
+                a.mul(filt, a.mul(t, a.sub(a.constant(BASE), t))))
+            cy = a.mul_const(t, GOLDILOCKS_INVERSE_65536)
+        return cy
+
+    def _div_core(self, a, lv, consumer, filt, q_l, d_l, r_l, n_l,
+                  d_packed, q_packed, r_packed, n_packed):
+        """Shared N = Q*D + R, R < D (or D=0 => Q=0, R=N) machinery."""
+        one = a.one
+        z = a.zero
+        aux = self._aux_from_cols(a, lv, MULT_AUX_LO, MULT_AUX_HI,
+                                  2 * N_LIMBS)
+        self._eval_product_acc(
+            a, consumer, filt, q_l + [z, z], d_l + [z, z],
+            r_l + [z, z], n_l + [z, z], aux)
+        dnz = lv[EX_DNZ]
+        dinv = lv[EX_DINV]
+        consumer.constraint(a.mul(filt, a.sub(dnz, a.mul(d_packed, dinv))))
+        consumer.constraint(a.mul(filt, a.mul(d_packed, a.sub(one, dnz))))
+        slack = [lv[c] for c in INPUT_REGISTER_2]
+        cy = self._borrow_chain(a, consumer, filt, r_l, slack, d_l)
+        consumer.constraint(a.mul(filt, a.sub(cy, a.sub(one, dnz))))
+        consumer.constraint(a.mul(filt, a.mul(a.sub(one, dnz), q_packed)))
+        consumer.constraint(a.mul(filt, a.mul(
+            a.sub(one, dnz), a.sub(r_packed, n_packed))))
+
+    def _eval_divu(self, a, lv, consumer):
+        filt = lv[IS_DIVU]
+        n_l = [lv[c] for c in INPUT_REGISTER_0]
+        d_l = [lv[c] for c in INPUT_REGISTER_1]
+        q_l = [lv[c] for c in OUTPUT_REGISTER]
+        r_l = [lv[c] for c in AUX_INPUT_REGISTER_0]
+        self._div_core(a, lv, consumer, filt, q_l, d_l, r_l, n_l,
+                       self._p(a, lv, INPUT_REGISTER_1),
+                       self._p(a, lv, OUTPUT_REGISTER),
+                       self._p(a, lv, AUX_INPUT_REGISTER_0),
+                       self._p(a, lv, INPUT_REGISTER_0))
+
+    def _eval_div(self, a, lv, nv, consumer):
+        one = a.one
+        filt = lv[IS_DIV]
+        N = self._p(a, lv, INPUT_REGISTER_0)
+        D = self._p(a, lv, INPUT_REGISTER_1)
+        Q = self._p(a, lv, OUTPUT_REGISTER)
+        R = self._p(a, lv, AUX_INPUT_REGISTER_0)
+        aN = self._p(a, nv, INPUT_REGISTER_0)
+        aD = self._p(a, nv, INPUT_REGISTER_1)
+        aQ = self._p(a, nv, INPUT_REGISTER_2)
+        aR = self._p(a, nv, OUTPUT_REGISTER)
+        n_neg, d_neg = lv[EX_NNEG], lv[EX_DNEG]
+        q_neg, r_neg = lv[EX_QNEG], lv[EX_RNEG]
+        opp = lv[EX_OPP]
+        for b in (n_neg, d_neg, q_neg, r_neg, opp):
+            consumer.constraint(a.mul(filt, a.mul(b, a.sub(one, b))))
+        # top-limb sum trick binds n_neg/d_neg to the actual sign bits
+        half = a.constant(1 << 15)
+        consumer.constraint(a.mul(filt, a.sub(
+            a.add(lv[INPUT_REGISTER_0.start + 1], half),
+            a.add(nv[DIV_SUMS.start], a.mul_const(n_neg, BASE)))))
+        consumer.constraint(a.mul(filt, a.sub(
+            a.add(lv[INPUT_REGISTER_1.start + 1], half),
+            a.add(nv[DIV_SUMS.start + 1], a.mul_const(d_neg, BASE)))))
+        # abs reconstruction: X = |X|*(1-2neg) + 2^32*neg
+        p32 = (1 << 32) % P
+        for X, aX, neg in ((N, aN, n_neg), (D, aD, d_neg), (Q, aQ, q_neg),
+                           (R, aR, r_neg)):
+            recon = a.add(a.sub(aX, a.mul_const(a.mul(neg, aX), 2)),
+                          a.mul_const(neg, p32))
+            consumer.constraint(a.mul(filt, a.sub(X, recon)))
+        # |N| = |Q|*|D| + |R|, |R| < |D| (or D == 0)
+        q_l = [nv[c] for c in INPUT_REGISTER_2]
+        d_l = [nv[c] for c in INPUT_REGISTER_1]
+        r_l = [nv[c] for c in OUTPUT_REGISTER]
+        n_l = [nv[c] for c in INPUT_REGISTER_0]
+        self._div_core(a, lv, consumer, filt, q_l, d_l, r_l, n_l,
+                       aD, Q, R, N)
+        # sign coherence
+        consumer.constraint(a.mul(filt, a.sub(
+            opp, a.sub(a.add(n_neg, d_neg),
+                       a.mul_const(a.mul(n_neg, d_neg), 2)))))
+        consumer.constraint(a.mul(filt, a.mul(a.sub(q_neg, opp), aQ)))
+        consumer.constraint(a.mul(filt, a.mul(a.sub(r_neg, n_neg), aR)))
+
+    def _power_chain(self, a, consumer, filt, bits, c_cols, p2):
+        """c1=T0*T1, c2=c1*T2, c3=c2*T3, p2=c3*T4 with T_i=1+b_i*(2^2^i-1)."""
+        one = a.one
+        terms = [a.add(one, a.mul_const(bits[i], _POW_TERM[i]))
+                 for i in range(5)]
+        consumer.constraint(a.mul(filt, a.sub(
+            c_cols[0], a.mul(terms[0], terms[1]))))
+        consumer.constraint(a.mul(filt, a.sub(
+            c_cols[1], a.mul(c_cols[0], terms[2]))))
+        consumer.constraint(a.mul(filt, a.sub(
+            c_cols[2], a.mul(c_cols[1], terms[3]))))
+        consumer.constraint(a.mul(filt, a.sub(
+            p2, a.mul(c_cols[2], terms[4]))))
+
+    def _shift_decomp(self, a, lv, consumer, filt, bits, high_rng):
+        """IN0 (the full shift amount) == sum(bits) + 32*high."""
+        low = a.zero
+        for i in range(5):
+            consumer.constraint(a.mul(filt, a.mul(
+                bits[i], a.sub(a.one, bits[i]))))
+            low = a.add(low, a.mul_const(bits[i], 1 << i))
+        s = self._p(a, lv, INPUT_REGISTER_0)
+        high = self._p(a, lv, high_rng)
+        consumer.constraint(a.mul(filt, a.sub(
+            s, a.add(low, a.mul_const(high, 32)))))
+        return low
+
+    def _eval_right_shift(self, a, lv, nv, consumer):
+        one = a.one
+        f_srl = a.add(lv[IS_SRL], lv[IS_SRLV])
+        f_sra = a.add(lv[IS_SRA], lv[IS_SRAV])
+        filt = a.add(f_srl, f_sra)
+        bits = [lv[c] for c in EX_SHIFT_BITS]
+        self._shift_decomp(a, lv, consumer, filt, bits, SH_HIGH)
+        c_cols = [nv[c] for c in NV_C]
+        p2 = self._p(a, lv, INPUT_REGISTER_2)
+        self._power_chain(a, consumer, filt, bits, c_cols, p2)
+
+        x = self._p(a, lv, INPUT_REGISTER_1)
+        res = self._p(a, lv, OUTPUT_REGISTER)
+        y = self._p(a, lv, AUX_INPUT_REGISTER_0)
+        r_l = [lv[c] for c in AUX_INPUT_REGISTER_1]
+        s_l = [lv[c] for c in AUX_INPUT_REGISTER_2]
+        p2_l = [lv[c] for c in INPUT_REGISTER_2]
+        r = self._p(a, lv, AUX_INPUT_REGISTER_1)
+        # x = y * 2^s + r (y < 2^32, 2^s <= 2^31: no field wrap)
+        consumer.constraint(a.mul(filt, a.sub(a.add(a.mul(y, p2), r), x)))
+        # r < 2^s
+        cy = self._borrow_chain(a, consumer, filt, r_l, s_l, p2_l)
+        consumer.constraint(a.mul(filt, cy))
+        # SRL result
+        consumer.constraint(a.mul(f_srl, a.sub(res, y)))
+        # SRA: result = y + x_neg*(2^32 - 2*w31), w31*2^s = 2^31
+        xn = lv[EX_XNEG]
+        consumer.constraint(a.mul(f_sra, a.mul(xn, a.sub(one, xn))))
+        half = a.constant(1 << 15)
+        consumer.constraint(a.mul(f_sra, a.sub(
+            a.add(lv[INPUT_REGISTER_1.start + 1], half),
+            a.add(nv[NV_XSUM], a.mul_const(xn, BASE)))))
+        w31 = self._p(a, lv, SH_W31)
+        consumer.constraint(a.mul(f_sra, a.sub(
+            a.mul(w31, p2), a.constant(1 << 31))))
+        corr = a.sub(a.mul_const(xn, (1 << 32) % P),
+                     a.mul_const(a.mul(xn, w31), 2))
+        consumer.constraint(a.mul(f_sra, a.sub(res, a.add(y, corr))))
+
+    def _eval_sll_power_chain(self, a, lv, consumer):
+        """Binds the SLL/SLLV 1<<shift register (IN2) to the shift amount
+        (IN0) — the reference leaves IN2 a free witness (shift.rs:58)."""
+        filt = a.add(lv[IS_SLL], lv[IS_SLLV])
+        bits = [lv[c] for c in EX_SHIFT_BITS]
+        self._shift_decomp(a, lv, consumer, filt, bits, SLL_HIGH)
+        c_cols = [lv[c] for c in SLL_C]
+        p2 = self._p(a, lv, INPUT_REGISTER_2)
+        self._power_chain(a, consumer, filt, bits, c_cols, p2)
+
+    for name, fn in list(locals().items()):
+        if callable(fn):
+            setattr(cls, name, fn)
+    return cls
+
+
+_mixin_div_shift(ArithmeticStark)

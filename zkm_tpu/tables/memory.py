@@ -179,6 +179,20 @@ class MemoryStark(Stark):
 
         filt = lv[FILTER]
         consumer.constraint(a.mul(filt, a.sub(filt, one)))
+        is_read = lv[IS_READ]
+        consumer.constraint(a.mul(is_read, a.sub(is_read, one)))
+
+        # Dummy (filter=0) rows must be reads, except the R0 write
+        # (ctx 0, SEG_REGISTER_FILE, virt 0, value 0).  Stronger than the
+        # reference, whose dummy=>read check is commented out
+        # (memory_stark.rs:287-295) because R0 writes also clear the filter:
+        # here dummy writes are pinned to exactly the harmless R0 shape.
+        dummy_write = a.mul(a.sub(one, filt), a.sub(one, is_read))
+        consumer.constraint(a.mul(dummy_write, lv[ADDR_CONTEXT]))
+        consumer.constraint(a.mul(dummy_write, a.sub(
+            lv[ADDR_SEGMENT], a.constant(SEG_REGISTER_FILE))))
+        consumer.constraint(a.mul(dummy_write, lv[ADDR_VIRTUAL]))
+        consumer.constraint(a.mul(dummy_write, lv[VALUE]))
 
         cfc = lv[CONTEXT_FIRST_CHANGE]
         sfc = lv[SEGMENT_FIRST_CHANGE]

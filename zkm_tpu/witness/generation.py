@@ -256,6 +256,13 @@ def generate_bootstrap(s: GenerationState, sponge: bool = False):
     if sponge:
         from .sponge import bootstrap_hash_checks
         bootstrap_hash_checks(s)
+    else:
+        # terminator: the final bootstrap row must have no used channels
+        # (bootstrap_kernel.rs delta constraint); with the PoseidonSponge
+        # table this row becomes the image-id sponge row.
+        row = s.new_row()
+        row[cc.IS_BOOTSTRAP_KERNEL] = 1
+        s.push_row(row)
 
 
 # ---------------------------------------------------------------------------
