@@ -39,8 +39,8 @@ PROGRAM = [
     0x7C0D7620,                         # seh t6,t5
     0x11090002, 0x00000000,             # beq t0,t1 (untaken) + nop
     0x15090001, 0x00000000,             # bne t0,t1 (taken) + delay
-    0x0C000027, 0x00000000,             # jal exit + delay
-    0x24021096, 0x24040000, 0x0000000C,  # exit_group(0) @ 0x9C
+    0x0C000024, 0x00000000,             # jal exit + delay
+    0x24021096, 0x24040000, 0x0000000C,  # exit_group(0) @ 0x90
 ]
 
 

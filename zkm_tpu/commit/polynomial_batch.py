@@ -58,36 +58,45 @@ class PolynomialBatch:
         return self.leaf_row(index), sibs
 
 
+# Twiddle/bit-reversal tables enter as traced arguments (not baked graph
+# constants) so the compiled executables stay small — constants of LDE size
+# blew the persistent compile cache up to 40+MB per entry.
+
 @partial(jax.jit, static_argnums=(1,))
-def _values_to_commitment_arrays(values: gl.Gf, rate_bits: int):
-    coeffs = ntt.intt(values)
-    lde_nat = ntt.lde(coeffs, rate_bits)              # (C, N<<rate)
-    m = lde_nat[0].shape[-1]
-    rev = ntt.bit_reverse_indices(m.bit_length() - 1)
-    lde_rev = gl.take(lde_nat, rev, axis=-1)
+def _values_to_commitment_arrays(values: gl.Gf, rate_bits: int, intt_a,
+                                 lde_a, rev_m):
+    coeffs = ntt.intt(values, aux=intt_a)
+    lde_nat = ntt.lde(coeffs, rate_bits, aux=lde_a)   # (C, N<<rate)
+    lde_rev = gl.take(lde_nat, rev_m, axis=-1)
     leaves = (lde_rev[0].T, lde_rev[1].T)             # (M, C)
     return coeffs, leaves
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _coeffs_to_commitment_arrays(coeffs: gl.Gf, rate_bits: int):
-    lde_nat = ntt.lde(coeffs, rate_bits)
-    m = lde_nat[0].shape[-1]
-    rev = ntt.bit_reverse_indices(m.bit_length() - 1)
-    lde_rev = gl.take(lde_nat, rev, axis=-1)
+def _coeffs_to_commitment_arrays(coeffs: gl.Gf, rate_bits: int, lde_a,
+                                 rev_m):
+    lde_nat = ntt.lde(coeffs, rate_bits, aux=lde_a)
+    lde_rev = gl.take(lde_nat, rev_m, axis=-1)
     return (lde_rev[0].T, lde_rev[1].T)
 
 
 def from_values(values: gl.Gf, rate_bits: int, cap_height: int) -> PolynomialBatch:
     """values: (C, N) per-polynomial evaluations over the size-N subgroup."""
-    coeffs, leaves = _values_to_commitment_arrays(values, rate_bits)
+    log_n = values[0].shape[-1].bit_length() - 1
+    coeffs, leaves = _values_to_commitment_arrays(
+        values, rate_bits, ntt.ntt_aux(log_n, True),
+        ntt.lde_aux(log_n, rate_bits),
+        ntt._rev_indices_dev(log_n + rate_bits))
     tree = build_merkle_tree(leaves, cap_height)
     return PolynomialBatch(coeffs=coeffs, leaves=leaves, tree=tree,
                            rate_bits=rate_bits, cap_height=cap_height)
 
 
 def from_coeffs(coeffs: gl.Gf, rate_bits: int, cap_height: int) -> PolynomialBatch:
-    leaves = _coeffs_to_commitment_arrays(coeffs, rate_bits)
+    log_n = coeffs[0].shape[-1].bit_length() - 1
+    leaves = _coeffs_to_commitment_arrays(
+        coeffs, rate_bits, ntt.lde_aux(log_n, rate_bits),
+        ntt._rev_indices_dev(log_n + rate_bits))
     tree = build_merkle_tree(leaves, cap_height)
     return PolynomialBatch(coeffs=coeffs, leaves=leaves, tree=tree,
                            rate_bits=rate_bits, cap_height=cap_height)

@@ -48,11 +48,12 @@ class ConstraintConsumer:
     # -- batched variants ----------------------------------------------------
 
     def _alpha_pows(self, j: int, k: int):
-        """[alpha_j^0 .. alpha_j^k] (cached per consumer)."""
-        key = (j, k)
-        if key not in self._pow_cache:
-            self._pow_cache[key] = self.a.scalar_powers(self.alphas[j], k)
-        return self._pow_cache[key]
+        """[alpha_j^0 .. alpha_j^k] (incrementally extended and cached, so
+        mixed batch sizes share the power chain)."""
+        pows = self._pow_cache.setdefault(j, [self.a.one])
+        while len(pows) <= k:
+            pows.append(self.a.mul(pows[-1], self.alphas[j]))
+        return pows
 
     def constraint_batch(self, values, k: int):
         """Accumulate k constraints at once (same math as k constraint()s)."""

@@ -244,6 +244,28 @@ def cross_table_lookup_data(trace_per_table: List[gl.Gf],
 # Constraint-side evaluation (generic algebra).
 # ---------------------------------------------------------------------------
 
+def build_ctl_check_vars(aux_local, aux_next, num_lookup: int,
+                         ctl_structure, chal_values):
+    """CtlCheckVars from a static aux-layout description.
+
+    ctl_structure: tuple of (num_helpers, challenge_idx, columns, filters);
+    chal_values: list of (beta, gamma) algebra values (traced Gf scalars on
+    the device path, symbolic PARAM nodes in the expression compiler)."""
+    ctl_vars = []
+    total_helpers = sum(s[0] for s in ctl_structure)
+    h = num_lookup
+    for k, (nh, ci, columns, filters) in enumerate(ctl_structure):
+        zi = num_lookup + total_helpers + k
+        beta, gamma = chal_values[ci]
+        ctl_vars.append(CtlCheckVars(
+            helper_columns=aux_local[h:h + nh],
+            local_z=aux_local[zi], next_z=aux_next[zi],
+            challenge=GrandProductChallenge(beta, gamma),
+            columns=list(columns), filters=list(filters)))
+        h += nh
+    return ctl_vars
+
+
 @dataclass
 class CtlCheckVars:
     helper_columns: List        # algebra values

@@ -39,7 +39,8 @@ from .cross_table_lookup import (CtlCheckVars, GrandProductChallenge,
 from .lookup import lookup_helper_columns
 from .proof import (AllProof, PublicValues, StarkOpeningSet, StarkProof,
                     StarkProofWithMetadata)
-from .vanishing_poly import eval_vanishing_poly
+from .vanishing_poly import eval_vanishing_scheduled
+from ..utils.timing import log, timed
 
 P = gl.P
 
@@ -66,23 +67,15 @@ def _const(v: int) -> gl.Gf:
     return gl.full((), v % P)
 
 
-def _build_ctl_vars(aux_local, aux_next, num_lookup: int, ctl_structure,
-                    chal_gfs):
-    """ctl_structure: tuple of (num_helpers, challenge_idx, columns, filters).
-    chal_gfs: traced list of (beta, gamma) Gf scalars."""
-    ctl_vars = []
-    total_helpers = sum(s[0] for s in ctl_structure)
-    h = num_lookup
-    for k, (nh, ci, columns, filters) in enumerate(ctl_structure):
-        zi = num_lookup + total_helpers + k
-        beta, gamma = chal_gfs[ci]
-        ctl_vars.append(CtlCheckVars(
-            helper_columns=aux_local[h:h + nh],
-            local_z=aux_local[zi], next_z=aux_next[zi],
-            challenge=GrandProductChallenge(beta, gamma),
-            columns=list(columns), filters=list(filters)))
-        h += nh
-    return ctl_vars
+def _roll_rows(x: gl.Gf, k: int) -> gl.Gf:
+    """Cyclic next-row view: column c of the result is column (c+k) mod M.
+
+    Implemented as slice+concat, NOT a modular gather: a wrap-around gather
+    fused into the large scheduled-constraint graph miscompiles on XLA:CPU
+    (wrong values at exactly the wrap row; observed under the 8-virtual-
+    device test platform).  Slices also lower better on TPU."""
+    return (jnp.concatenate([x[0][..., k:], x[0][..., :k]], axis=-1),
+            jnp.concatenate([x[1][..., k:], x[1][..., :k]], axis=-1))
 
 
 def ctl_structure_of(ctl_data, chal_index) -> tuple:
@@ -130,7 +123,8 @@ def _quotient_domain_tables(degree_bits: int):
 @partial(jax.jit, static_argnums=(0, 1, 5, 6))
 def _quotient_core(stark, degree_bits: int, trace_coeffs: gl.Gf,
                    aux_coeffs, alphas_gf, num_lookup: int,
-                   ctl_structure, chal_gfs, domain_tables) -> List[gl.Gf]:
+                   ctl_structure, chal_gfs, domain_tables,
+                   lde_a) -> List[gl.Gf]:
     """Evaluate the alpha-combined vanishing polynomial / Z_H over the
     quotient coset (size 2n).  Returns one (2n,) array per alpha.
 
@@ -139,33 +133,19 @@ def _quotient_core(stark, degree_bits: int, trace_coeffs: gl.Gf,
     m = 2 * n
     algebra = BatchAlgebra(m)
 
-    trace_qd = ntt.lde(trace_coeffs, 1)           # (C, 2n) on g*H_2n
-    nxt_idx = ((np.arange(m) + 2) % m).astype(np.int32)
-    local = BatchRows(trace_qd)
-    nxt = BatchRows(gl.take(trace_qd, nxt_idx, axis=-1))
-
-    aux_local, aux_next = [], []
+    trace_qd = ntt.lde(trace_coeffs, 1, aux=lde_a)    # (C, 2n) on g*H_2n
+    full = trace_qd
     if aux_coeffs is not None:
-        aux_qd = ntt.lde(aux_coeffs, 1)
-        aux_view = BatchRows(aux_qd)
-        aux_next_view = BatchRows(gl.take(aux_qd, nxt_idx, axis=-1))
-        num_aux = len(aux_view)
-        aux_local = [aux_view[i] for i in range(num_aux)]
-        aux_next = [aux_next_view[i] for i in range(num_aux)]
+        aux_qd = ntt.lde(aux_coeffs, 1, aux=lde_a)
+        full = (jnp.concatenate([trace_qd[0], aux_qd[0]], axis=0),
+                jnp.concatenate([trace_qd[1], aux_qd[1]], axis=0))
+    full_next = _roll_rows(full, 2)
 
     z_last, lag_first, lag_last, inv_zh = domain_tables
     consumer = ConstraintConsumer(
         algebra, list(alphas_gf), z_last, lag_first, lag_last)
-
-    lookup_vars = None
-    if stark.uses_lookups():
-        betas = [c[0] for c in chal_gfs]
-        lookup_vars = (aux_local[:num_lookup], aux_next[:num_lookup], betas)
-
-    ctl_vars = _build_ctl_vars(aux_local, aux_next, num_lookup,
-                               ctl_structure, chal_gfs)
-    eval_vanishing_poly(algebra, stark, local, nxt, lookup_vars, ctl_vars,
-                        consumer)
+    eval_vanishing_scheduled(stark, num_lookup, ctl_structure, full,
+                             full_next, chal_gfs, consumer)
     return [gl.mul(acc, inv_zh) for acc in consumer.accs]
 
 
@@ -178,15 +158,11 @@ def _check_constraints_core(stark, degree_bits: int, trace_values: gl.Gf,
     accumulator row must come out zero."""
     n = 1 << degree_bits
     algebra = BatchAlgebra(n)
-    nxt_idx = ((np.arange(n) + 1) % n).astype(np.int32)
-    local = BatchRows(trace_values)
-    nxt = BatchRows(gl.take(trace_values, nxt_idx, axis=-1))
-    aux_local, aux_next = [], []
+    full = trace_values
     if aux_values is not None:
-        aux_view = BatchRows(aux_values)
-        aux_next_view = BatchRows(gl.take(aux_values, nxt_idx, axis=-1))
-        aux_local = [aux_view[i] for i in range(len(aux_view))]
-        aux_next = [aux_next_view[i] for i in range(len(aux_view))]
+        full = (jnp.concatenate([trace_values[0], aux_values[0]], axis=0),
+                jnp.concatenate([trace_values[1], aux_values[1]], axis=0))
+    full_next = _roll_rows(full, 1)
 
     g = gl.primitive_root_of_unity(degree_bits)
     xs = gl.from_u64(gl.host_powers(g, n))
@@ -200,14 +176,8 @@ def _check_constraints_core(stark, degree_bits: int, trace_values: gl.Gf,
         algebra, list(alphas_gf), z_last,
         gl.from_u64(first), gl.from_u64(last))
 
-    lookup_vars = None
-    if stark.uses_lookups():
-        betas = [c[0] for c in chal_gfs]
-        lookup_vars = (aux_local[:num_lookup], aux_next[:num_lookup], betas)
-    ctl_vars = _build_ctl_vars(aux_local, aux_next, num_lookup,
-                               ctl_structure, chal_gfs)
-    eval_vanishing_poly(algebra, stark, local, nxt, lookup_vars, ctl_vars,
-                        consumer)
+    eval_vanishing_scheduled(stark, num_lookup, ctl_structure, full,
+                             full_next, chal_gfs, consumer)
     return consumer.accs
 
 
@@ -224,8 +194,9 @@ def check_constraints(stark, trace_values, aux_values, alphas, num_lookup,
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _quotient_coeffs(quotient_values: List[gl.Gf], n: int) -> List[gl.Gf]:
-    return [ntt.coset_intt(gl.reshape(qv, (1, 2 * n)))
+def _quotient_coeffs(quotient_values: List[gl.Gf], n: int,
+                     cintt_a) -> List[gl.Gf]:
+    return [ntt.coset_intt(gl.reshape(qv, (1, 2 * n)), aux=cintt_a)
             for qv in quotient_values]
 
 
@@ -234,7 +205,9 @@ def _quotient_chunks(quotient_values: List[gl.Gf], n: int) -> gl.Gf:
     challenge-major order (matches the committed quotient layout).  The
     final stack happens outside jit on materialized arrays (concat of deep
     producers hangs XLA CPU's LLVM — see project memory)."""
-    coeffs = _quotient_coeffs(quotient_values, n)
+    log_m = (2 * n).bit_length() - 1
+    coeffs = _quotient_coeffs(quotient_values, n,
+                              ntt.coset_aux(log_m, inverse=True))
     chunks_lo, chunks_hi = [], []
     for lo, hi in coeffs:
         chunks_lo += [lo[0, :n], lo[0, n:]]
@@ -257,22 +230,24 @@ def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
     if stark.uses_lookups():
         lookup_challenges = [ch.beta for ch in ctl_challenges.challenges]
 
-    aux_polys: List[gl.Gf] = []
-    num_lookup_columns = 0
-    if lookup_challenges is not None:
-        for lookup in stark.lookups():
-            for challenge in lookup_challenges:
-                aux_polys.extend(lookup_helper_columns(
-                    lookup, trace_values, challenge,
-                    stark.constraint_degree))
-        num_lookup_columns = len(aux_polys)
-    aux_polys.extend(ctl_data.ctl_helper_polys())
-    aux_polys.extend(ctl_data.ctl_z_polys())
-    assert aux_polys, "No CTL?"
+    with timed("aux polys", table=type(stark).__name__):
+        aux_polys: List[gl.Gf] = []
+        num_lookup_columns = 0
+        if lookup_challenges is not None:
+            for lookup in stark.lookups():
+                for challenge in lookup_challenges:
+                    aux_polys.extend(lookup_helper_columns(
+                        lookup, trace_values, challenge,
+                        stark.constraint_degree))
+            num_lookup_columns = len(aux_polys)
+        aux_polys.extend(ctl_data.ctl_helper_polys())
+        aux_polys.extend(ctl_data.ctl_z_polys())
+        assert aux_polys, "No CTL?"
 
-    aux_values = (jnp.stack([p[0] for p in aux_polys]),
-                  jnp.stack([p[1] for p in aux_polys]))
-    aux_commitment = pb.from_values(aux_values, rate_bits, cap_height)
+        aux_values = (jnp.stack([p[0] for p in aux_polys]),
+                      jnp.stack([p[1] for p in aux_polys]))
+    with timed("aux commit", polys=len(aux_polys)):
+        aux_commitment = pb.from_values(aux_values, rate_bits, cap_height)
     challenger.observe_cap(aux_commitment.cap_u64())
 
     alphas = challenger.get_n_challenges(config.num_challenges)
@@ -285,18 +260,23 @@ def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
     alphas_gf = [_const(a) for a in alphas]
 
     if debug:
-        check_constraints(stark, trace_values, aux_values, alphas,
-                          num_lookup_columns, ctl_structure, chal_gfs,
-                          degree_bits)
+        with timed("check_constraints", table=type(stark).__name__):
+            check_constraints(stark, trace_values, aux_values, alphas,
+                              num_lookup_columns, ctl_structure, chal_gfs,
+                              degree_bits)
 
-    quotient_values = _quotient_core(
-        stark, degree_bits, trace_commitment.coeffs, aux_commitment.coeffs,
-        alphas_gf, num_lookup_columns, ctl_structure, chal_gfs,
-        _quotient_domain_tables(degree_bits))
+    with timed("quotient eval", table=type(stark).__name__, n=n):
+        quotient_values = _quotient_core(
+            stark, degree_bits, trace_commitment.coeffs,
+            aux_commitment.coeffs, alphas_gf, num_lookup_columns,
+            ctl_structure, chal_gfs, _quotient_domain_tables(degree_bits),
+            ntt.lde_aux(degree_bits, 1))
+        quotient_values[0][0].block_until_ready()
 
-    quotient_chunks = _quotient_chunks(quotient_values, n)
-    quotient_commitment = pb.from_coeffs(quotient_chunks, rate_bits,
-                                         cap_height)
+    with timed("quotient commit"):
+        quotient_chunks = _quotient_chunks(quotient_values, n)
+        quotient_commitment = pb.from_coeffs(quotient_chunks, rate_bits,
+                                             cap_height)
     challenger.observe_cap(quotient_commitment.cap_u64())
 
     zeta = challenger.get_extension_challenge()
@@ -346,8 +326,9 @@ def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
     ]
     opening_values = openings.fri_batches()
     oracles = [trace_commitment, aux_commitment, quotient_commitment]
-    opening_proof = fri_oracle.open_and_prove(
-        batches, opening_values, oracles, challenger, config.fri_config)
+    with timed("fri openings", table=type(stark).__name__):
+        opening_proof = fri_oracle.open_and_prove(
+            batches, opening_values, oracles, challenger, config.fri_config)
 
     proof = StarkProof(
         trace_cap=trace_commitment.cap_u64(),
@@ -367,8 +348,9 @@ def prove_with_traces(starks: Sequence, config: StarkConfig,
     rate_bits = config.fri_config.rate_bits
     cap_height = config.fri_config.cap_height
 
-    trace_commitments = [pb.from_values(t, rate_bits, cap_height)
-                         for t in traces]
+    with timed("trace commits", tables=len(traces)):
+        trace_commitments = [pb.from_values(t, rate_bits, cap_height)
+                             for t in traces]
     challenger = Challenger()
     for c in trace_commitments:
         challenger.observe_cap(c.cap_u64())
@@ -376,14 +358,17 @@ def prove_with_traces(starks: Sequence, config: StarkConfig,
 
     ctl_challenges = get_grand_product_challenge_set(
         challenger, config.num_challenges)
-    ctl_data_per_table = cross_table_lookup_data(
-        traces, ctls, ctl_challenges, 3)
+    with timed("ctl data"):
+        ctl_data_per_table = cross_table_lookup_data(
+            traces, ctls, ctl_challenges, 3)
 
     proofs = []
     for stark, trace, commitment, ctl_data in zip(
             starks, traces, trace_commitments, ctl_data_per_table):
-        proofs.append(prove_single_table(
-            stark, config, trace, commitment, ctl_data, ctl_challenges,
-            challenger, debug=debug))
+        with timed("prove table", table=type(stark).__name__,
+                   n=trace[0].shape[-1]):
+            proofs.append(prove_single_table(
+                stark, config, trace, commitment, ctl_data, ctl_challenges,
+                challenger, debug=debug))
     return AllProof(stark_proofs=proofs, ctl_challenges=ctl_challenges,
                     public_values=public_values)

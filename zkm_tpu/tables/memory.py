@@ -59,23 +59,35 @@ class MemoryOp:
 
 
 def _fill_gaps(ops: List[MemoryOp]) -> List[MemoryOp]:
-    max_rc = (1 << (len(ops) - 1).bit_length()) - 1 if ops else 0
-    out = list(ops)
-    for curr, nxt in zip(ops, ops[1:]):
-        if curr.context != nxt.context or curr.segment != nxt.segment:
-            continue
-        if curr.virt != nxt.virt:
-            while nxt.virt - curr.virt - 1 > max_rc:
-                curr = MemoryOp(False, 0, True, curr.context, curr.segment,
-                                curr.virt + max_rc + 1, 0)
-                out.append(curr)
-        else:
-            while nxt.timestamp - curr.timestamp > max_rc:
-                curr = MemoryOp(False, curr.timestamp + max_rc, True,
-                                curr.context, curr.segment, curr.virt,
-                                curr.value)
-                out.append(curr)
-    return out
+    """Insert dummy reads so every sorted-row delta fits the range check
+    (memory_stark.rs:175-204).
+
+    Deviation: the reference fixes max_rc from the pre-fill op count, so a
+    small segment whose image spans the 0x80000000 page-hash region inserts
+    ~gap/max_rc dummies (a 27x table blowup at 10k ops).  We instead find
+    the smallest power-of-two height whose own bound absorbs the dummies it
+    induces — identical constraints (rc < height), minimal height."""
+    n_bits = max((len(ops) - 1).bit_length(), 1)
+    while True:
+        max_rc = (1 << n_bits) - 1
+        out = list(ops)
+        for curr, nxt in zip(ops, ops[1:]):
+            if curr.context != nxt.context or curr.segment != nxt.segment:
+                continue
+            if curr.virt != nxt.virt:
+                while nxt.virt - curr.virt - 1 > max_rc:
+                    curr = MemoryOp(False, 0, True, curr.context,
+                                    curr.segment, curr.virt + max_rc + 1, 0)
+                    out.append(curr)
+            else:
+                while nxt.timestamp - curr.timestamp > max_rc:
+                    curr = MemoryOp(False, curr.timestamp + max_rc, True,
+                                    curr.context, curr.segment, curr.virt,
+                                    curr.value)
+                    out.append(curr)
+        if len(out) <= (1 << n_bits):
+            return out
+        n_bits += 1
 
 
 def _coerce_r0(op: MemoryOp) -> MemoryOp:
