@@ -25,8 +25,13 @@ from .stark.proof import AllProof, MemRoots, PublicValues
 from .stark.prover import prove_with_traces
 from .stark.verifier import verify_proof
 from .tables import arithmetic as arith
+from .tables import keccak as keccak_tab
+from .tables import keccak_sponge as ksponge
 from .tables import logic
 from .tables import memory as mem
+from .tables import poseidon
+from .tables import poseidon_sponge as psponge
+from .utils.timing import log, timed
 from .witness.generation import generate_segment_traces
 
 
@@ -51,14 +56,28 @@ def public_values_for_segment(seg: Segment) -> PublicValues:
 def segment_traces(seg: Segment, all_stark: AllStark,
                    block_path: str = "") -> List:
     """Witness generation + per-table trace building for the subset."""
-    t = generate_segment_traces(seg, block_path=block_path)
+    sponge = Table.PoseidonSponge in all_stark.tables
+    keccak = Table.KeccakSponge in all_stark.tables
+    with timed("witness generation", steps=seg.step):
+        t = generate_segment_traces(seg, block_path=block_path,
+                                    sponge=sponge, keccak=keccak)
     builders = {
         Table.Arithmetic: lambda: arith.generate_trace(t.arith_ops),
         Table.Cpu: lambda: gl.from_u64(t.cpu_rows.T.copy()),
+        Table.Poseidon: lambda: poseidon.generate_trace(t.poseidon_inputs),
+        Table.PoseidonSponge:
+            lambda: psponge.generate_trace(t.poseidon_sponge_ops),
+        Table.Keccak: lambda: keccak_tab.generate_trace(t.keccak_inputs),
+        Table.KeccakSponge:
+            lambda: ksponge.generate_trace(t.keccak_sponge_ops),
         Table.Logic: lambda: logic.generate_trace(t.logic_ops),
         Table.Memory: lambda: mem.generate_trace(t.memory_ops),
     }
-    return [builders[tab]() for tab in all_stark.tables]
+    out = []
+    for tab in all_stark.tables:
+        with timed("build trace", table=tab.name):
+            out.append(builders[tab]())
+    return out
 
 
 def prove_segment(seg: Segment, config: Optional[StarkConfig] = None,
@@ -68,10 +87,14 @@ def prove_segment(seg: Segment, config: Optional[StarkConfig] = None,
     """Re-execute a segment and prove the implemented tables over it."""
     config = config or StarkConfig.standard_fast_config()
     all_stark = all_stark or make_all_stark()
-    traces = segment_traces(seg, all_stark, block_path)
-    pv = public_values_for_segment(seg)
-    proof = prove_with_traces(all_stark.starks, config, traces,
-                              all_stark.ctls, pv, debug=debug)
+    with timed("prove_segment", segment=seg.segment_id):
+        traces = segment_traces(seg, all_stark, block_path)
+        pv = public_values_for_segment(seg)
+        log("info", "proving tables: %s", ", ".join(
+            f"{tab.name}={tr[0].shape[-1]}"
+            for tab, tr in zip(all_stark.tables, traces)))
+        proof = prove_with_traces(all_stark.starks, config, traces,
+                                  all_stark.ctls, pv, debug=debug)
     return SegmentReceipt(proof=proof, pre_image_id=seg.pre_image_id,
                           image_id=seg.image_id, userdata=pv.userdata)
 

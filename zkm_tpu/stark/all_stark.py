@@ -21,9 +21,12 @@ from enum import IntEnum
 from typing import Dict, List, Optional, Sequence
 
 from ..tables import arithmetic as arith_mod
+from ..tables import keccak as keccak_mod
+from ..tables import keccak_sponge as ksponge_mod
 from ..tables import logic as logic_mod
 from ..tables import memory as memory_mod
 from ..tables import poseidon as poseidon_mod
+from ..tables import poseidon_sponge as psponge_mod
 from ..tables.cpu import CpuStark
 from ..tables.cpu import ctl as cpu_ctl
 from .cross_table_lookup import CrossTableLookup, TableWithColumns
@@ -53,6 +56,9 @@ IMPLEMENTED: Dict[Table, object] = {
     Table.Arithmetic: arith_mod.ArithmeticStark,
     Table.Cpu: CpuStark,
     Table.Poseidon: poseidon_mod.PoseidonStark,
+    Table.PoseidonSponge: psponge_mod.PoseidonSpongeStark,
+    Table.Keccak: keccak_mod.KeccakStark,
+    Table.KeccakSponge: ksponge_mod.KeccakSpongeStark,
     Table.Logic: logic_mod.LogicStark,
     Table.Memory: memory_mod.MemoryStark,
 }
@@ -60,6 +66,16 @@ IMPLEMENTED: Dict[Table, object] = {
 # Default proving subset (host SDK): the tables the witness generator
 # currently populates end-to-end.
 DEFAULT_SUBSET = (Table.Arithmetic, Table.Cpu, Table.Logic, Table.Memory)
+
+# Subset with the Poseidon sponge chain: the bootstrap/exit kernels hash
+# every memory page and the image ids inside the proof.
+SPONGE_SUBSET = (Table.Arithmetic, Table.Cpu, Table.Poseidon,
+                 Table.PoseidonSponge, Table.Logic, Table.Memory)
+
+# Sponge subset + the keccak syscall tables.
+KECCAK_SUBSET = (Table.Arithmetic, Table.Cpu, Table.Poseidon,
+                 Table.PoseidonSponge, Table.Keccak, Table.KeccakSponge,
+                 Table.Logic, Table.Memory)
 
 
 @dataclass
@@ -102,8 +118,15 @@ def _ctl_logic(loc) -> CrossTableLookup:
                          tuple(cpu_ctl.ctl_logic_jumpi_cols()),
                          cpu_ctl.ctl_logic_jumpi_filter()),
     ]
-    # keccak-sponge xor and sha extend/compress logic lookups join here
-    # as those tables land (all_stark.rs:340-471)
+    if Table.KeccakSponge in loc:
+        looking += [
+            TableWithColumns(loc[Table.KeccakSponge],
+                             tuple(ksponge_mod.ctl_looking_logic(w)),
+                             ksponge_mod.ctl_looking_logic_filter())
+            for w in range(ksponge_mod.RATE_U32S)
+        ]
+    # sha extend/compress logic lookups join here as those tables land
+    # (all_stark.rs:356-471)
     return CrossTableLookup(
         tuple(looking),
         TableWithColumns(loc[Table.Logic], tuple(logic_mod.ctl_data()),
@@ -111,17 +134,95 @@ def _ctl_logic(loc) -> CrossTableLookup:
 
 
 def _ctl_memory(loc) -> CrossTableLookup:
-    """CPU GP channels (and later sponge byte reads) <-> Memory."""
+    """CPU GP channels (and sponge word reads) <-> Memory."""
     looking = [
         TableWithColumns(loc[Table.Cpu],
                          tuple(cpu_ctl.ctl_gp_memory_cols(ch)),
                          cpu_ctl.ctl_gp_memory_filter(ch))
         for ch in range(cpu_ctl.cc.NUM_GP_CHANNELS)
     ]
+    if Table.PoseidonSponge in loc:
+        looking += [
+            TableWithColumns(loc[Table.PoseidonSponge],
+                             tuple(psponge_mod.ctl_looking_memory(w)),
+                             psponge_mod.ctl_looking_memory_filter(w))
+            for w in range(psponge_mod.SPONGE_RATE)
+        ]
+    if Table.KeccakSponge in loc:
+        looking += [
+            TableWithColumns(loc[Table.KeccakSponge],
+                             tuple(ksponge_mod.ctl_looking_memory(w)),
+                             ksponge_mod.ctl_looking_memory_filter(w))
+            for w in range(ksponge_mod.RATE_U32S)
+        ]
     return CrossTableLookup(
         tuple(looking),
         TableWithColumns(loc[Table.Memory], tuple(memory_mod.ctl_data()),
                          memory_mod.ctl_filter()))
+
+
+def _ctl_poseidon_sponge(loc) -> CrossTableLookup:
+    """CPU sponge rows <-> PoseidonSponge final rows (all_stark.rs
+    ctl_poseidon_sponge)."""
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.Cpu],
+                          tuple(cpu_ctl.ctl_poseidon_sponge_cols()),
+                          cpu_ctl.ctl_poseidon_sponge_filter()),),
+        TableWithColumns(loc[Table.PoseidonSponge],
+                         tuple(psponge_mod.ctl_looked_data()),
+                         psponge_mod.ctl_looked_filter()))
+
+
+def _ctl_poseidon_inputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.PoseidonSponge],
+                          tuple(psponge_mod.ctl_looking_poseidon_inputs()),
+                          psponge_mod.ctl_looking_poseidon_filter()),),
+        TableWithColumns(loc[Table.Poseidon],
+                         tuple(poseidon_mod.ctl_data_inputs()),
+                         poseidon_mod.ctl_filter()))
+
+
+def _ctl_poseidon_outputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.PoseidonSponge],
+                          tuple(psponge_mod.ctl_looking_poseidon_outputs()),
+                          psponge_mod.ctl_looking_poseidon_filter()),),
+        TableWithColumns(loc[Table.Poseidon],
+                         tuple(poseidon_mod.ctl_data_outputs()),
+                         poseidon_mod.ctl_filter()))
+
+
+def _ctl_keccak_sponge(loc) -> CrossTableLookup:
+    """CPU keccak rows <-> KeccakSponge final rows (all_stark.rs
+    ctl_keccak_sponge)."""
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.Cpu],
+                          tuple(cpu_ctl.ctl_keccak_sponge_cols()),
+                          cpu_ctl.ctl_keccak_sponge_filter()),),
+        TableWithColumns(loc[Table.KeccakSponge],
+                         tuple(ksponge_mod.ctl_looked_data()),
+                         ksponge_mod.ctl_looked_filter()))
+
+
+def _ctl_keccak_inputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.KeccakSponge],
+                          tuple(ksponge_mod.ctl_looking_keccak_inputs()),
+                          ksponge_mod.ctl_looking_keccak_filter()),),
+        TableWithColumns(loc[Table.Keccak],
+                         tuple(keccak_mod.ctl_data_inputs()),
+                         keccak_mod.ctl_filter_inputs()))
+
+
+def _ctl_keccak_outputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.KeccakSponge],
+                          tuple(ksponge_mod.ctl_looking_keccak_outputs()),
+                          ksponge_mod.ctl_looking_keccak_filter()),),
+        TableWithColumns(loc[Table.Keccak],
+                         tuple(keccak_mod.ctl_data_outputs()),
+                         keccak_mod.ctl_filter_outputs()))
 
 
 def make_all_stark(subset: Optional[Sequence[Table]] = None,
@@ -138,9 +239,24 @@ def make_all_stark(subset: Optional[Sequence[Table]] = None,
 
     ctls: List[CrossTableLookup] = []
     if Table.Cpu in loc and not self_ctls:
-        # reference CTL order: arithmetic, [sponges], logic, memory
+        # reference CTL order: arithmetic, poseidon sponge/inputs/outputs,
+        # [keccak/sha sponges], logic, memory (all_stark.rs:136-154)
         if Table.Arithmetic in loc:
             ctls.append(_ctl_arithmetic(loc))
+        if Table.PoseidonSponge in loc:
+            assert Table.Poseidon in loc, \
+                "PoseidonSponge requires the Poseidon table"
+            ctls.append(_ctl_poseidon_sponge(loc))
+            ctls.append(_ctl_poseidon_inputs(loc))
+            ctls.append(_ctl_poseidon_outputs(loc))
+        if Table.KeccakSponge in loc:
+            assert Table.Keccak in loc, \
+                "KeccakSponge requires the Keccak table"
+            assert Table.Logic in loc, \
+                "KeccakSponge requires the Logic table (absorb XORs)"
+            ctls.append(_ctl_keccak_sponge(loc))
+            ctls.append(_ctl_keccak_inputs(loc))
+            ctls.append(_ctl_keccak_outputs(loc))
         if Table.Logic in loc:
             ctls.append(_ctl_logic(loc))
         if Table.Memory in loc:

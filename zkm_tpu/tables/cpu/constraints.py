@@ -80,9 +80,18 @@ def eval_bootstrap(a, lv, nv, consumer):
     consumer.constraint_first_row(ex)
     dex = a.sub(nex, ex)
     consumer.constraint_transition(a.mul(dex, a.sub(dex, one)))
+    # the row where is_exit flips pins channel 0's value to the pc
+    # (exit_kernel.rs:112-113: the end-pc row's reg-zero write)
+    consumer.constraint_transition(a.mul(dex, a.sub(
+        lv[cc.MEM_CHANNELS[0].value], lv[cc.PROGRAM_COUNTER])))
     # exit rows freeze the pc
     consumer.constraint_transition(
         a.mul(ex, a.sub(nv[cc.PROGRAM_COUNTER], lv[cc.PROGRAM_COUNTER])))
+    # exit-row used channels write ctx 0 / segment Code (exit_kernel.rs:104)
+    for ch in cc.MEM_CHANNELS:
+        filt = a.mul(ex, lv[ch.used])
+        consumer.constraint(a.mul(filt, lv[ch.addr_context]))
+        consumer.constraint(a.mul(filt, lv[ch.addr_segment]))
 
 
 # ---------------------------------------------------------------------------

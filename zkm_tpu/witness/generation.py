@@ -75,6 +75,14 @@ class PoseidonSpongeOp:
 
 
 @dataclass
+class KeccakSpongeOp:
+    """One keccak sponge absorption (keccak_sponge_stark.rs:203-214)."""
+    base_address: List[Tuple[int, int, int]]
+    timestamp: int
+    input: bytes
+
+
+@dataclass
 class TraceSet:
     """Everything the per-table trace builders consume."""
     cpu_rows: np.ndarray                 # (n, NUM_CPU_COLUMNS) uint64
@@ -93,6 +101,7 @@ class GenerationState:
     """Prover-side machine state (generation/state.rs:208-300)."""
 
     def __init__(self, seg: Segment):
+        self.seg = seg
         # registers from the segment's packed register page (state.py)
         st, _ = State.load_seg(seg)
         self.regs = list(st.registers) + [
@@ -980,8 +989,7 @@ def _gen_keccak(s: GenerationState, addr: int, length: int, ptr: int):
     digest_words = [int.from_bytes(digest[i * 4:i * 4 + 4], "big")
                     for i in range(8)]
     for i, w in enumerate(reversed(digest_words)):
-        row[cc.KHASH_VALUE.start + i] = \
-            int.from_bytes(w.to_bytes(4, "big"), "little")
+        row[cc.KHASH_VALUE.start + i] = w
     from .sponge import keccak_sponge_log
     keccak_sponge_log(s, data_addr, bytes(data))
     s.push_row(row)
@@ -1244,11 +1252,12 @@ def perform_instruction(s: GenerationState, block_path: str = ""):
 # ---------------------------------------------------------------------------
 
 def generate_segment_traces(seg: Segment, block_path: str = "",
-                            sponge: bool = False,
+                            sponge: bool = False, keccak: bool = False,
                             min_rows: int = 64) -> TraceSet:
     """Bootstrap + simulate + pad; returns the TraceSet for all tables."""
     s = GenerationState(seg)
     s.sponge_enabled = sponge
+    s.keccak_enabled = keccak
     generate_bootstrap(s, sponge=sponge)
 
     step = 0
@@ -1259,9 +1268,8 @@ def generate_segment_traces(seg: Segment, block_path: str = "",
                 raise RuntimeError(
                     f"segment split error at {s.pc:#x}, "
                     f"expected {seg.end_pc:#x}")
-            if sponge:
-                from .sponge import exit_kernel_checks
-                exit_kernel_checks(s, seg)
+            from .sponge import exit_kernel_checks
+            exit_kernel_checks(s, seg)
             break
         perform_instruction(s, block_path)
         step += 1

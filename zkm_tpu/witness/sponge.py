@@ -1,34 +1,274 @@
-"""Sponge op logging: poseidon/keccak/sha sponge tables + byte-read memory ops.
+"""Sponge op logging + bootstrap/exit kernel hash checks.
 
-Reference: /root/reference/prover/src/witness/util.rs:370-741 (the
-poseidon/keccak/sha_extend/sha_compress sponge loggers) and
-cpu/bootstrap_kernel.rs / exit_kernel.rs (page-hash + image-id checks).
+Reference: /root/reference/prover/src/witness/util.rs:370-741 (sponge
+loggers) and cpu/bootstrap_kernel.rs:26-306 / exit_kernel.rs:22-86 (the
+page-hash and image-id checks binding the memory image to the proof).
 
-Round-2 staging: the loggers are no-ops until the corresponding sponge
-tables are registered (s.sponge_enabled) — the CPU rows and the raw
-memory/logic ops they would balance are still generated, so enabling a
-sponge table later only requires flipping the flag.
+Word-level deviation: every memory read pushed here is one op per u32 word
+(the reference pushes one per *byte*, re-reading each word 4x to feed its
+byte-level CTL — see tables/poseidon_sponge.py docstring).
 """
 
 from __future__ import annotations
 
 from typing import List, Tuple
 
+from ..hash import poseidon as ps
+from ..tables.cpu import columns as cc
+from ..tables.memory import SEG_CODE
+
+PAGE_SIZE = 4096
+WORDS_PER_PAGE = PAGE_SIZE // 4
+HASH_ADDRESS_BASE = 0x8000_0000
+HASH_ADDRESS_END = 0x8102_0000          # root page base address
+ROOT_PAGE_INDEX = HASH_ADDRESS_END >> 12
+ROOT_HASH_ADDRESS_BASE = 0x8102_1000
+REGISTERS_START = 0x8102_0400
+RATE_BYTES = ps.RATE_BYTES              # 32
+SPONGE_RATE = ps.SPONGE_RATE            # 8
+
 
 def _enabled(s) -> bool:
     return getattr(s, "sponge_enabled", False)
 
 
-def poseidon_sponge_log(s, base_addresses, input_bytes: bytes):
-    if not _enabled(s):
-        return
-    raise NotImplementedError("PoseidonSponge table lands in milestone 4")
+def _digest_bytes(digest_u64s: List[int]) -> bytes:
+    return b"".join(int(x).to_bytes(8, "little") for x in digest_u64s)
 
 
-def keccak_sponge_log(s, base_addresses, input_bytes: bytes):
+def poseidon_sponge_log(s, base_addresses: List[Tuple[int, int, int]],
+                        input_bytes: bytes) -> List[int]:
+    """Log one sponge op: word-level memory reads at the current clock,
+    one Poseidon permutation input per rate block, and the sponge-table op.
+    Returns the 4-limb digest (witness/util.rs:370-468)."""
+    assert len(input_bytes) % 4 == 0, "sponge inputs must be word-aligned"
+    ts = s.clock() * cc.NUM_CHANNELS
+    nwords = len(input_bytes) // 4
+    assert len(base_addresses) == nwords
+    for i, (ctx, seg, virt) in enumerate(base_addresses):
+        v = int.from_bytes(input_bytes[4 * i:4 * i + 4], "big")
+        got = s.mget(ctx, seg, virt)
+        assert got == v, (
+            f"sponge read mismatch at {virt:#x}: mem {got:#x} != {v:#x}")
+        s._push_mem(True, True, ctx, seg, virt, v)
+
+    blocks = ps.bytes_to_rate_blocks(input_bytes)     # (nb, 8) u32 LE
+    state = [0] * ps.SPONGE_WIDTH
+    for block in blocks:
+        state[:SPONGE_RATE] = [int(x) for x in block]
+        s.t.poseidon_inputs.append((list(state), ts))
+        state = ps.permute_host(state)
+
+    from .generation import PoseidonSpongeOp
+    s.t.poseidon_sponge_ops.append(PoseidonSpongeOp(
+        base_address=list(base_addresses), timestamp=ts,
+        input=bytes(input_bytes)))
+    return state[:ps.DIGEST]
+
+
+def _sponge_cpu_row(s, base_addresses, input_bytes: bytes, *,
+                    bootstrap: bool) -> bytes:
+    """Push the CPU row carrying a sponge op's CTL view; returns the raw
+    digest bytes (bootstrap_kernel.rs:134-179 / :277-302)."""
+    row = s.new_row()
+    if bootstrap:
+        row[cc.IS_BOOTSTRAP_KERNEL] = 1
+    else:
+        row[cc.IS_EXIT_KERNEL] = 1
+        row[cc.PROGRAM_COUNTER] = s.pc
+        row[cc.NEXT_PROGRAM_COUNTER] = s.next_pc
+    row[cc.IS_POSEIDON_SPONGE] = 1
+
+    final_index = (len(input_bytes) // RATE_BYTES) * SPONGE_RATE
+    virt = base_addresses[final_index][2] \
+        if final_index < len(base_addresses) else 0
+    s.push_no_write(row, 0, base_addresses[0][0])   # context
+    s.push_no_write(row, 1, base_addresses[0][1])   # segment
+    s.push_no_write(row, 2, virt)
+    s.push_no_write(row, 3, len(input_bytes))
+
+    digest = poseidon_sponge_log(s, base_addresses, input_bytes)
+    for i, c in enumerate(cc.HASH_VALUE):
+        row[c] = digest[i]
+    s.push_row(row)
+    return _digest_bytes(digest)
+
+
+def _page_bytes(s, page_addr: int) -> Tuple[List, bytes]:
+    addrs = [(0, SEG_CODE, page_addr + 4 * i) for i in range(WORDS_PER_PAGE)]
+    data = b"".join(
+        s.mget(0, SEG_CODE, a).to_bytes(4, "big") for (_, _, a) in addrs)
+    return addrs, data
+
+
+def _check_page_hash(s, seg, page_addr: int, update: bool):
+    """Sponge the page's current content; at bootstrap, assert it matches
+    the stored (pre-state) hash; at exit, write the new hash into the
+    parent hash page (bootstrap_kernel.rs check_memory_page_hash)."""
+    addrs, data = _page_bytes(s, page_addr)
+
+    if update and page_addr != HASH_ADDRESS_END:
+        # recompute + write the new hash words before hashing the page's
+        # parent (sorted page order guarantees parent hashes later)
+        digest = ps.poseidon_bytes(data)
+        raw = _digest_bytes([int(x) for x in digest])
+        hash_addr = HASH_ADDRESS_BASE + ((page_addr >> 12) << 5)
+        writes = [(hash_addr + 4 * j,
+                   int.from_bytes(raw[4 * j:4 * j + 4], "big"))
+                  for j in range(8)]
+        _write_words(s, writes, bootstrap=False)
+
+    digest_raw = _sponge_cpu_row(s, addrs, data, bootstrap=not update)
+
+    if page_addr == HASH_ADDRESS_END:
+        expected = seg.page_hash_root if update else seg.pre_hash_root
+        assert digest_raw == expected, \
+            f"root page hash mismatch ({'post' if update else 'pre'})"
+    elif not update:
+        hash_addr = HASH_ADDRESS_BASE + ((page_addr >> 12) << 5)
+        expected = b"".join(
+            s.mget(0, SEG_CODE, hash_addr + 4 * j).to_bytes(4, "big")
+            for j in range(8))
+        assert digest_raw == expected, \
+            f"page hash mismatch at {page_addr:#x}"
+
+
+def _write_words(s, addr_vals: List[Tuple[int, int]], *, bootstrap: bool):
+    """Memory writes in chunks of 8 GP channels per CPU row."""
+    for base in range(0, len(addr_vals), 8):
+        row = s.new_row()
+        if bootstrap:
+            row[cc.IS_BOOTSTRAP_KERNEL] = 1
+        else:
+            row[cc.IS_EXIT_KERNEL] = 1
+            row[cc.PROGRAM_COUNTER] = s.pc
+            row[cc.NEXT_PROGRAM_COUNTER] = s.next_pc
+        for channel, (addr, val) in enumerate(addr_vals[base:base + 8]):
+            s.mem_write_gp(channel, addr, row, val)
+        s.push_row(row)
+
+
+def _check_image_id(s, seg, post: bool):
+    """Write the 9 image-id input words and sponge them
+    (bootstrap_kernel.rs check_image_id)."""
+    root = seg.page_hash_root if post else seg.pre_hash_root
+    pc = seg.end_pc if post else seg.pc
+    words = [int.from_bytes(root[4 * i:4 * i + 4], "little")
+             for i in range(8)]
+    words.append(int.from_bytes((pc & 0xFFFFFFFF).to_bytes(4, "little"),
+                                "big"))
+    addr_vals = [(ROOT_HASH_ADDRESS_BASE + 4 * i, w)
+                 for i, w in enumerate(words)]
+    _write_words(s, addr_vals, bootstrap=not post)
+
+    addrs = [(0, SEG_CODE, a) for a, _ in addr_vals]
+    data = b"".join(w.to_bytes(4, "big") for w in words)
+    digest_raw = _sponge_cpu_row(s, addrs, data, bootstrap=not post)
+    expected = seg.image_id if post else seg.pre_image_id
+    assert digest_raw == expected, \
+        f"image id mismatch ({'post' if post else 'pre'})"
+
+
+def bootstrap_hash_checks(s):
+    """Page-hash + pre-image-id sponge rows (bootstrap_kernel.rs:63-71).
+
+    The final bootstrap row is the image-id sponge row (no used channels,
+    satisfying the bootstrap-terminator constraint)."""
+    seg = s.seg
+    for page_addr in sorted({a >> 12 for a in s.image}):
+        _check_page_hash(s, seg, page_addr << 12, update=False)
+    _check_image_id(s, seg, post=False)
+
+
+def exit_kernel_checks(s, seg):
+    """End-pc pin, register sync, page re-hash, post-image-id
+    (exit_kernel.rs:22-86).  The sponge rows (re-hash + image id) are
+    gated on the PoseidonSponge table being registered; the end-pc row and
+    register sync are unconditional (they need only CPU + Memory)."""
+    assert s.pc == seg.end_pc, \
+        f"exit pc {s.pc:#x} != segment end pc {seg.end_pc:#x}"
+
+    # end-pc row: channel 0 carries end_pc into the delta_is_exit constraint
+    row = s.new_row()
+    row[cc.IS_KERNEL_MODE] = 1
+    row[cc.PROGRAM_COUNTER] = s.pc
+    row[cc.NEXT_PROGRAM_COUNTER] = s.next_pc
+    s.reg_write(0, 0, seg.end_pc, row)
+    s.push_row(row)
+
+    # sync registers into the root page (exit_kernel.rs:42-75)
+    regs = [v & 0xFFFFFFFF for v in s.regs]
+    regs[35] = s.pc
+    regs[36] = s.next_pc
+    addr_vals = [(REGISTERS_START + 4 * i, v) for i, v in enumerate(regs)]
+    _write_words(s, addr_vals, bootstrap=False)
+
     if not _enabled(s):
         return
-    raise NotImplementedError("KeccakSponge table lands in milestone 5")
+    # re-hash every image page with post-state content, then post image id
+    for page_addr in sorted({a >> 12 for a in s.image}):
+        _check_page_hash(s, seg, page_addr << 12, update=True)
+    _check_image_id(s, seg, post=True)
+
+
+# -- syscall sponge loggers --------------------------------------------------
+
+def keccak_sponge_log(s, base_addresses: List[Tuple[int, int, int]],
+                      input_bytes: bytes):
+    """Log one keccak sponge op: word-level memory reads, per-block XOR
+    logic ops + keccak-f permutation inputs, and the sponge-table op
+    (witness/util.rs keccak_sponge_log:471-557).  Gated on the Keccak
+    tables being registered (s.keccak_enabled) so the memory-op stream
+    stays CTL-balanced for smaller table subsets."""
+    if not getattr(s, "keccak_enabled", False):
+        return
+    import numpy as np
+
+    from ..hash.keccak import keccak_f
+    from ..tables import keccak_sponge as ks
+    from ..tables import logic as logic_mod
+    assert len(input_bytes) % 4 == 0, "keccak inputs must be word-aligned"
+    ts = s.clock() * cc.NUM_CHANNELS
+    nwords = len(input_bytes) // 4
+    assert len(base_addresses) == nwords
+    for i, (ctx, seg, virt) in enumerate(base_addresses):
+        v = int.from_bytes(input_bytes[4 * i:4 * i + 4], "big")
+        got = s.mget(ctx, seg, virt)
+        assert got == v, (
+            f"keccak read mismatch at {virt:#x}: mem {got:#x} != {v:#x}")
+        s._push_mem(True, True, ctx, seg, virt, v)
+
+    # absorb loop: pad10*1, XOR via logic ops, permute via keccak table
+    nb = len(input_bytes) // ks.RATE_BYTES + 1
+    flen = len(input_bytes) - (nb - 1) * ks.RATE_BYTES
+    state = [0] * ks.WIDTH_U32S
+    for b in range(nb):
+        if b == nb - 1:
+            bb = np.zeros(ks.RATE_BYTES, dtype=np.uint64)
+            bb[:flen] = list(input_bytes[b * ks.RATE_BYTES:])
+            bb += ks.pad_pattern(flen)
+            block = [int(x) for x in bb]
+        else:
+            block = list(input_bytes[b * ks.RATE_BYTES:
+                                     (b + 1) * ks.RATE_BYTES])
+        block_u32s = [sum(block[4 * w + j] << (8 * j) for j in range(4))
+                      for w in range(ks.RATE_U32S)]
+        for w in range(ks.RATE_U32S):
+            s.t.logic_ops.append(
+                (logic_mod.OP_XOR, state[w], block_u32s[w]))
+        xored = [state[w] ^ block_u32s[w] for w in range(ks.RATE_U32S)]
+        u32s = xored + state[ks.RATE_U32S:]
+        lanes = [u32s[2 * j] | (u32s[2 * j + 1] << 32) for j in range(25)]
+        s.t.keccak_inputs.append((lanes, ts))
+        out = keccak_f(lanes)
+        state = []
+        for v in out:
+            state += [v & 0xFFFFFFFF, v >> 32]
+
+    from .generation import KeccakSpongeOp
+    s.t.keccak_sponge_ops.append(KeccakSpongeOp(
+        base_address=list(base_addresses), timestamp=ts,
+        input=bytes(input_bytes)))
 
 
 def sha_extend_sponge_log(s, input_addrs, input_vals, out_addr, round_i):
@@ -41,13 +281,3 @@ def sha_compress_sponge_log(s, hx_vals, h_ptr, w_vals, w_ptr, state_vals):
     if not _enabled(s):
         return
     raise NotImplementedError("ShaCompressSponge table lands in milestone 5")
-
-
-def bootstrap_hash_checks(s):
-    """Page-hash + pre-image-id poseidon sponge rows (bootstrap_kernel.rs)."""
-    raise NotImplementedError("lands with the PoseidonSponge table")
-
-
-def exit_kernel_checks(s, seg):
-    """Register sync + post page-hash/image-id rows (exit_kernel.rs)."""
-    raise NotImplementedError("lands with the PoseidonSponge table")
