@@ -31,6 +31,10 @@ from .tables import logic
 from .tables import memory as mem
 from .tables import poseidon
 from .tables import poseidon_sponge as psponge
+from .tables import sha_compress as shac
+from .tables import sha_compress_sponge as shacs
+from .tables import sha_extend as shae
+from .tables import sha_extend_sponge as shaes
 from .utils.timing import log, timed
 from .witness.generation import generate_segment_traces
 
@@ -58,9 +62,10 @@ def segment_traces(seg: Segment, all_stark: AllStark,
     """Witness generation + per-table trace building for the subset."""
     sponge = Table.PoseidonSponge in all_stark.tables
     keccak = Table.KeccakSponge in all_stark.tables
+    sha = Table.ShaExtendSponge in all_stark.tables
     with timed("witness generation", steps=seg.step):
         t = generate_segment_traces(seg, block_path=block_path,
-                                    sponge=sponge, keccak=keccak)
+                                    sponge=sponge, keccak=keccak, sha=sha)
     builders = {
         Table.Arithmetic: lambda: arith.generate_trace(t.arith_ops),
         Table.Cpu: lambda: gl.from_u64(t.cpu_rows.T.copy()),
@@ -70,6 +75,12 @@ def segment_traces(seg: Segment, all_stark: AllStark,
         Table.Keccak: lambda: keccak_tab.generate_trace(t.keccak_inputs),
         Table.KeccakSponge:
             lambda: ksponge.generate_trace(t.keccak_sponge_ops),
+        Table.ShaExtend: lambda: shae.generate_trace(t.sha_extend_ops),
+        Table.ShaExtendSponge:
+            lambda: shaes.generate_trace(t.sha_extend_ops),
+        Table.ShaCompress: lambda: shac.generate_trace(t.sha_compress_ops),
+        Table.ShaCompressSponge:
+            lambda: shacs.generate_trace(t.sha_compress_ops),
         Table.Logic: lambda: logic.generate_trace(t.logic_ops),
         Table.Memory: lambda: mem.generate_trace(t.memory_ops),
     }

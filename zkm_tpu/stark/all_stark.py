@@ -27,6 +27,10 @@ from ..tables import logic as logic_mod
 from ..tables import memory as memory_mod
 from ..tables import poseidon as poseidon_mod
 from ..tables import poseidon_sponge as psponge_mod
+from ..tables import sha_compress as shac_mod
+from ..tables import sha_compress_sponge as shacs_mod
+from ..tables import sha_extend as shae_mod
+from ..tables import sha_extend_sponge as shaes_mod
 from ..tables.cpu import CpuStark
 from ..tables.cpu import ctl as cpu_ctl
 from .cross_table_lookup import CrossTableLookup, TableWithColumns
@@ -59,6 +63,10 @@ IMPLEMENTED: Dict[Table, object] = {
     Table.PoseidonSponge: psponge_mod.PoseidonSpongeStark,
     Table.Keccak: keccak_mod.KeccakStark,
     Table.KeccakSponge: ksponge_mod.KeccakSpongeStark,
+    Table.ShaExtend: shae_mod.ShaExtendStark,
+    Table.ShaExtendSponge: shaes_mod.ShaExtendSpongeStark,
+    Table.ShaCompress: shac_mod.ShaCompressStark,
+    Table.ShaCompressSponge: shacs_mod.ShaCompressSpongeStark,
     Table.Logic: logic_mod.LogicStark,
     Table.Memory: memory_mod.MemoryStark,
 }
@@ -76,6 +84,9 @@ SPONGE_SUBSET = (Table.Arithmetic, Table.Cpu, Table.Poseidon,
 KECCAK_SUBSET = (Table.Arithmetic, Table.Cpu, Table.Poseidon,
                  Table.PoseidonSponge, Table.Keccak, Table.KeccakSponge,
                  Table.Logic, Table.Memory)
+
+# All 12 tables (the reference's full system, all_stark.rs:96-110).
+FULL_SUBSET = tuple(Table)
 
 
 @dataclass
@@ -155,6 +166,25 @@ def _ctl_memory(loc) -> CrossTableLookup:
                              ksponge_mod.ctl_looking_memory_filter(w))
             for w in range(ksponge_mod.RATE_U32S)
         ]
+    if Table.ShaExtendSponge in loc:
+        looking += [
+            TableWithColumns(loc[Table.ShaExtendSponge],
+                             tuple(shaes_mod.ctl_looking_memory(i)),
+                             shaes_mod.ctl_looking_memory_filter(i))
+            for i in range(shaes_mod.NUM_MEMORY_CTLS)
+        ]
+    if Table.ShaCompressSponge in loc:
+        looking += [
+            TableWithColumns(loc[Table.ShaCompressSponge],
+                             tuple(shacs_mod.ctl_looking_memory(i)),
+                             shacs_mod.ctl_looking_memory_filter(i))
+            for i in range(shacs_mod.NUM_MEMORY_CTLS)
+        ]
+    if Table.ShaCompress in loc:
+        looking.append(
+            TableWithColumns(loc[Table.ShaCompress],
+                             tuple(shac_mod.ctl_looking_memory()),
+                             shac_mod.ctl_looking_memory_filter()))
     return CrossTableLookup(
         tuple(looking),
         TableWithColumns(loc[Table.Memory], tuple(memory_mod.ctl_data()),
@@ -225,6 +255,66 @@ def _ctl_keccak_outputs(loc) -> CrossTableLookup:
                          keccak_mod.ctl_filter_outputs()))
 
 
+def _ctl_sha_extend_sponge(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.Cpu],
+                          tuple(cpu_ctl.ctl_sha_extend_sponge_cols()),
+                          cpu_ctl.ctl_sha_extend_sponge_filter()),),
+        TableWithColumns(loc[Table.ShaExtendSponge],
+                         tuple(shaes_mod.ctl_looked_data()),
+                         shaes_mod.ctl_looked_filter()))
+
+
+def _ctl_sha_extend_inputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.ShaExtendSponge],
+                          tuple(shaes_mod.ctl_looking_extend_inputs()),
+                          shaes_mod.ctl_looking_extend_filter()),),
+        TableWithColumns(loc[Table.ShaExtend],
+                         tuple(shae_mod.ctl_data_inputs()),
+                         shae_mod.ctl_filter()))
+
+
+def _ctl_sha_extend_outputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.ShaExtendSponge],
+                          tuple(shaes_mod.ctl_looking_extend_outputs()),
+                          shaes_mod.ctl_looking_extend_filter()),),
+        TableWithColumns(loc[Table.ShaExtend],
+                         tuple(shae_mod.ctl_data_outputs()),
+                         shae_mod.ctl_filter()))
+
+
+def _ctl_sha_compress_sponge(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.Cpu],
+                          tuple(cpu_ctl.ctl_sha_compress_sponge_cols()),
+                          cpu_ctl.ctl_sha_compress_sponge_filter()),),
+        TableWithColumns(loc[Table.ShaCompressSponge],
+                         tuple(shacs_mod.ctl_looked_data()),
+                         shacs_mod.ctl_looked_filter()))
+
+
+def _ctl_sha_compress_inputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.ShaCompressSponge],
+                          tuple(shacs_mod.ctl_looking_compress_inputs()),
+                          shacs_mod.ctl_looking_compress_filter()),),
+        TableWithColumns(loc[Table.ShaCompress],
+                         tuple(shac_mod.ctl_data_inputs()),
+                         shac_mod.ctl_filter_inputs()))
+
+
+def _ctl_sha_compress_outputs(loc) -> CrossTableLookup:
+    return CrossTableLookup(
+        (TableWithColumns(loc[Table.ShaCompressSponge],
+                          tuple(shacs_mod.ctl_looking_compress_outputs()),
+                          shacs_mod.ctl_looking_compress_filter()),),
+        TableWithColumns(loc[Table.ShaCompress],
+                         tuple(shac_mod.ctl_data_outputs()),
+                         shac_mod.ctl_filter_outputs()))
+
+
 def make_all_stark(subset: Optional[Sequence[Table]] = None,
                    self_ctls: bool = False) -> AllStark:
     """Build the system over `subset` (default: DEFAULT_SUBSET).
@@ -257,6 +347,18 @@ def make_all_stark(subset: Optional[Sequence[Table]] = None,
             ctls.append(_ctl_keccak_sponge(loc))
             ctls.append(_ctl_keccak_inputs(loc))
             ctls.append(_ctl_keccak_outputs(loc))
+        if Table.ShaExtendSponge in loc:
+            assert Table.ShaExtend in loc, \
+                "ShaExtendSponge requires the ShaExtend table"
+            ctls.append(_ctl_sha_extend_sponge(loc))
+            ctls.append(_ctl_sha_extend_inputs(loc))
+            ctls.append(_ctl_sha_extend_outputs(loc))
+        if Table.ShaCompressSponge in loc:
+            assert Table.ShaCompress in loc, \
+                "ShaCompressSponge requires the ShaCompress table"
+            ctls.append(_ctl_sha_compress_sponge(loc))
+            ctls.append(_ctl_sha_compress_inputs(loc))
+            ctls.append(_ctl_sha_compress_outputs(loc))
         if Table.Logic in loc:
             ctls.append(_ctl_logic(loc))
         if Table.Memory in loc:

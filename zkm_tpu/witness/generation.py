@@ -83,6 +83,30 @@ class KeccakSpongeOp:
 
 
 @dataclass
+class ShaExtendOp:
+    """One SHA-256 message-schedule step (sha_extend_sponge)."""
+    context: int
+    segment: int
+    virt_out: int
+    timestamp: int
+    inputs: List[int]            # w[i-15], w[i-2], w[i-16], w[i-7]
+    output: int                  # w[i]
+
+
+@dataclass
+class ShaCompressOp:
+    """One SHA-256 compress block (sha_compress / sha_compress_sponge)."""
+    context: int
+    segment: int
+    h_virt: int
+    w_virt_base: int
+    timestamp: int
+    hx: List[int]                # initial state (8)
+    w: List[int]                 # 64 schedule words
+    final: List[int]             # state after 64 rounds
+
+
+@dataclass
 class TraceSet:
     """Everything the per-table trace builders consume."""
     cpu_rows: np.ndarray                 # (n, NUM_CPU_COLUMNS) uint64
@@ -1006,18 +1030,15 @@ def _gen_sha_extend(s: GenerationState, w_ptr: int):
     for i in range(16, 64):
         row = s.new_row()
         addrs = []
+        # the sigma XORs are proven in-table by the bit-sliced ShaExtend
+        # stark (no logic-table ops, unlike the reference — see
+        # tables/sha_extend.py)
         w15 = s.mem_read_gp(0, w_ptr + (i - 15) * 4, row)
         addrs.append(w_ptr + (i - 15) * 4)
-        s0_inter = _rotr(w15, 7) ^ _rotr(w15, 18)
-        s.t.logic_ops.append((logic_mod.OP_XOR, _rotr(w15, 7), _rotr(w15, 18)))
-        s0 = s0_inter ^ (w15 >> 3)
-        s.t.logic_ops.append((logic_mod.OP_XOR, s0_inter, w15 >> 3))
+        s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> 3)
         w2 = s.mem_read_gp(1, w_ptr + (i - 2) * 4, row)
         addrs.append(w_ptr + (i - 2) * 4)
-        s1_inter = _rotr(w2, 17) ^ _rotr(w2, 19)
-        s.t.logic_ops.append((logic_mod.OP_XOR, _rotr(w2, 17), _rotr(w2, 19)))
-        s1 = s1_inter ^ (w2 >> 10)
-        s.t.logic_ops.append((logic_mod.OP_XOR, s1_inter, w2 >> 10))
+        s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> 10)
         w16 = s.mem_read_gp(2, w_ptr + (i - 16) * 4, row)
         addrs.append(w_ptr + (i - 16) * 4)
         w7 = s.mem_read_gp(3, w_ptr + (i - 7) * 4, row)
@@ -1075,19 +1096,8 @@ def _gen_sha_compress(s: GenerationState, w_ptr: int, h_ptr: int):
         maj_inter = a_and_b ^ a_and_c
         maj = maj_inter ^ b_and_c
         temp2 = (s0 + maj) & M32
-        L = s.t.logic_ops
-        L.append((logic_mod.OP_XOR, _rotr(e, 6), _rotr(e, 11)))
-        L.append((logic_mod.OP_XOR, s_1_inter, _rotr(e, 25)))
-        L.append((logic_mod.OP_AND, e, f))
-        L.append((logic_mod.OP_AND, e_not, g))
-        L.append((logic_mod.OP_XOR, e_and_f, not_e_and_g))
-        L.append((logic_mod.OP_XOR, _rotr(a, 2), _rotr(a, 13)))
-        L.append((logic_mod.OP_XOR, s0_inter, _rotr(a, 22)))
-        L.append((logic_mod.OP_AND, a, b))
-        L.append((logic_mod.OP_AND, a, c))
-        L.append((logic_mod.OP_AND, b, c))
-        L.append((logic_mod.OP_XOR, a_and_b, a_and_c))
-        L.append((logic_mod.OP_XOR, maj_inter, b_and_c))
+        # sigma/ch/maj are proven in-table by the bit-sliced ShaCompress
+        # stark (the reference pushes 12 logic ops per round)
         h, g, f, e, d, c, b, a = \
             g, f, e, (d + temp1) & M32, c, b, a, (temp1 + temp2) & M32
     state_vals.append([a, b, c, d, e, f, g, h])
@@ -1253,11 +1263,13 @@ def perform_instruction(s: GenerationState, block_path: str = ""):
 
 def generate_segment_traces(seg: Segment, block_path: str = "",
                             sponge: bool = False, keccak: bool = False,
+                            sha: bool = False,
                             min_rows: int = 64) -> TraceSet:
     """Bootstrap + simulate + pad; returns the TraceSet for all tables."""
     s = GenerationState(seg)
     s.sponge_enabled = sponge
     s.keccak_enabled = keccak
+    s.sha_enabled = sha
     generate_bootstrap(s, sponge=sponge)
 
     step = 0

@@ -15,7 +15,7 @@ from typing import List, Tuple
 
 from ..hash import poseidon as ps
 from ..tables.cpu import columns as cc
-from ..tables.memory import SEG_CODE
+from ..tables.memory import SEG_CODE, MemoryOp
 
 PAGE_SIZE = 4096
 WORDS_PER_PAGE = PAGE_SIZE // 4
@@ -272,12 +272,50 @@ def keccak_sponge_log(s, base_addresses: List[Tuple[int, int, int]],
 
 
 def sha_extend_sponge_log(s, input_addrs, input_vals, out_addr, round_i):
-    if not _enabled(s):
+    """Log one extend step: 4 input word reads + the w[i] read-back at the
+    sponge timestamp, and the ShaExtend/ShaExtendSponge op.  Gated on the
+    SHA tables being registered (s.sha_enabled)."""
+    if not getattr(s, "sha_enabled", False):
         return
-    raise NotImplementedError("ShaExtendSponge table lands in milestone 5")
+    from ..tables.sha_extend import extend_step
+    ts = s.clock() * cc.NUM_CHANNELS
+    for addr, val in zip(input_addrs, input_vals):
+        assert s.mget(0, SEG_CODE, addr) == val
+        s._push_mem(True, True, 0, SEG_CODE, addr, val)
+    w_i = extend_step(*input_vals)
+    assert s.mget(0, SEG_CODE, out_addr) == w_i, "extend write mismatch"
+    s._push_mem(True, True, 0, SEG_CODE, out_addr, w_i)
+
+    from .generation import ShaExtendOp
+    s.t.sha_extend_ops.append(ShaExtendOp(
+        context=0, segment=SEG_CODE, virt_out=out_addr, timestamp=ts,
+        inputs=list(input_vals), output=w_i))
 
 
 def sha_compress_sponge_log(s, hx_vals, h_ptr, w_vals, w_ptr, state_vals):
-    if not _enabled(s):
+    """Log one compress block: 8 hx reads + 64 w reads at the sponge
+    timestamp (the w reads balance the ShaCompress table's per-round
+    memory CTL), 8 digest read-backs at ts+19 (after the CPU write row at
+    ts+10), and the ShaCompress/ShaCompressSponge op."""
+    if not getattr(s, "sha_enabled", False):
         return
-    raise NotImplementedError("ShaCompressSponge table lands in milestone 5")
+    from ..tables.sha_compress_sponge import M32, OUT_TS_OFFSET
+    ts = s.clock() * cc.NUM_CHANNELS
+    for i, val in enumerate(hx_vals):
+        assert s.mget(0, SEG_CODE, h_ptr + 4 * i) == val
+        s._push_mem(True, True, 0, SEG_CODE, h_ptr + 4 * i, val)
+    for i, val in enumerate(w_vals):
+        assert s.mget(0, SEG_CODE, w_ptr + 4 * i) == val
+        s._push_mem(True, True, 0, SEG_CODE, w_ptr + 4 * i, val)
+    final = state_vals[-1]
+    for i in range(8):
+        out = (hx_vals[i] + final[i]) & M32
+        s.t.memory_ops.append(MemoryOp(
+            True, ts + OUT_TS_OFFSET, True, 0, SEG_CODE, h_ptr + 4 * i,
+            out))
+
+    from .generation import ShaCompressOp
+    s.t.sha_compress_ops.append(ShaCompressOp(
+        context=0, segment=SEG_CODE, h_virt=h_ptr, w_virt_base=w_ptr,
+        timestamp=ts, hx=list(hx_vals), w=list(w_vals),
+        final=list(final)))
