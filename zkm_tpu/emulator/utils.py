@@ -70,3 +70,30 @@ def load_segment(seg_file: str) -> Tuple[State, int]:
     with open(seg_file) as f:
         seg = Segment.from_json(f.read())
     return State.load_seg(seg)
+
+
+def split_seg_into_segs(seg: Segment, seg_path: Optional[str] = None,
+                        block_path: str = "",
+                        seg_size: int = SEGMENT_STEPS
+                        ) -> Tuple[int, List[Segment], State]:
+    """Re-split one (oversized) segment into smaller segments
+    (emulator/src/utils.rs:62-104).
+
+    Resumes execution from the segment's pre-state and splits by the new
+    cycle budget, stopping exactly at the original segment's step count so
+    the resulting chain's first pre_image_id and last image_id match the
+    input segment's."""
+    state, final_step = State.load_seg(seg)
+    ist = InstrumentedState(state, block_path)
+    if seg_path:
+        os.makedirs(seg_path, exist_ok=True)
+    ist.split_segment(False)
+    segments: List[Segment] = []
+    while True:
+        cycles = ist.step()
+        if ist.state.total_step + ist.state.step == final_step:
+            break
+        if cycles > seg_size - 1:
+            segments.append(ist.split_segment(True, seg_path))
+    segments.append(ist.split_segment(True, seg_path))
+    return ist.state.total_step, segments, ist.state

@@ -58,14 +58,18 @@ def public_values_for_segment(seg: Segment) -> PublicValues:
 
 
 def segment_traces(seg: Segment, all_stark: AllStark,
-                   block_path: str = "") -> List:
+                   block_path: str = "", assumptions=(),
+                   assumption_usage: Optional[list] = None) -> List:
     """Witness generation + per-table trace building for the subset."""
     sponge = Table.PoseidonSponge in all_stark.tables
     keccak = Table.KeccakSponge in all_stark.tables
     sha = Table.ShaExtendSponge in all_stark.tables
     with timed("witness generation", steps=seg.step):
         t = generate_segment_traces(seg, block_path=block_path,
-                                    sponge=sponge, keccak=keccak, sha=sha)
+                                    sponge=sponge, keccak=keccak, sha=sha,
+                                    assumptions=assumptions)
+    if assumption_usage is not None:
+        assumption_usage.extend(t.assumptions_used)
     builders = {
         Table.Arithmetic: lambda: arith.generate_trace(t.arith_ops),
         Table.Cpu: lambda: gl.from_u64(t.cpu_rows.T.copy()),
@@ -94,12 +98,14 @@ def segment_traces(seg: Segment, all_stark: AllStark,
 def prove_segment(seg: Segment, config: Optional[StarkConfig] = None,
                   all_stark: Optional[AllStark] = None,
                   debug: bool = False,
-                  block_path: str = "") -> SegmentReceipt:
+                  block_path: str = "", assumptions=(),
+                  assumption_usage: Optional[list] = None) -> SegmentReceipt:
     """Re-execute a segment and prove the implemented tables over it."""
     config = config or StarkConfig.standard_fast_config()
     all_stark = all_stark or make_all_stark()
     with timed("prove_segment", segment=seg.segment_id):
-        traces = segment_traces(seg, all_stark, block_path)
+        traces = segment_traces(seg, all_stark, block_path, assumptions,
+                                assumption_usage)
         pv = public_values_for_segment(seg)
         log("info", "proving tables: %s", ", ".join(
             f"{tab.name}={tr[0].shape[-1]}"
@@ -142,3 +148,31 @@ def prove_elf(elf_path: str, args: List[str] = (),
     receipts = [prove_segment(s, config, debug=debug) for s in segments]
     check_receipt_chain(receipts)
     return receipts
+
+
+def prove_segments_with_assumptions(
+        segments: List[Segment], assumptions=(),
+        config: Optional[StarkConfig] = None,
+        all_stark: Optional[AllStark] = None, debug: bool = False,
+        block_path: str = ""):
+    """Prove a segment chain under an assumption environment, producing a
+    `Receipt` (Segments or Composite) — the reference's
+    `prove_with_assumptions` + sha2-composition driver pattern
+    (prover.rs:58-127, fixed_recursive_verifier.rs:835-914)."""
+    from .receipts import (CompositeReceipt, InnerReceipt, Receipt,
+                           ReceiptClaim)
+    usage: list = []
+    seg_receipts = [
+        prove_segment(s, config, all_stark, debug=debug,
+                      block_path=block_path, assumptions=assumptions,
+                      assumption_usage=usage)
+        for s in segments]
+    check_receipt_chain(seg_receipts)
+    inner = InnerReceipt(
+        segments=seg_receipts,
+        claim=ReceiptClaim(elf_id=seg_receipts[0].pre_image_id,
+                           commit=seg_receipts[0].userdata))
+    if usage:
+        return Receipt.composite(CompositeReceipt(
+            program_receipt=inner, assumptions_used=usage))
+    return Receipt.segments(inner)

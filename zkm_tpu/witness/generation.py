@@ -119,6 +119,9 @@ class TraceSet:
     keccak_sponge_ops: List[object] = field(default_factory=list)
     sha_extend_ops: List[object] = field(default_factory=list)
     sha_compress_ops: List[object] = field(default_factory=list)
+    claim_digests: List[bytes] = field(default_factory=list)
+    # [(Assumption, AssumptionReceipt)] resolved by SYS_VERIFY
+    assumptions_used: List[tuple] = field(default_factory=list)
 
 
 class GenerationState:
@@ -934,7 +937,8 @@ def _commit(s: GenerationState, addr: int, size: int):
 
 
 def _verify(s: GenerationState, addr: int, size: int):
-    """SYS_VERIFY: read the claim digest (assumption lookup is host-side)."""
+    """SYS_VERIFY: read the claim digest and resolve it against the
+    environment's assumption receipts (operation.rs verify:991-1022)."""
     assert size == 32
     row = s.new_row()
     digest = bytearray()
@@ -942,7 +946,11 @@ def _verify(s: GenerationState, addr: int, size: int):
         v = s.mem_read_gp(i, addr + i * 4, row)
         digest += v.to_bytes(4, "big")
     s.push_row(row)
-    s.t.__dict__.setdefault("claim_digests", []).append(bytes(digest))
+    digest = bytes(digest)
+    s.t.claim_digests.append(digest)
+    from ..receipts import Assumption, find_assumption
+    used = find_assumption(digest, getattr(s, "assumptions", []))
+    s.t.assumptions_used.insert(0, (Assumption(digest), used))
 
 
 def _load_preimage(s: GenerationState, block_path: str):
@@ -1263,13 +1271,14 @@ def perform_instruction(s: GenerationState, block_path: str = ""):
 
 def generate_segment_traces(seg: Segment, block_path: str = "",
                             sponge: bool = False, keccak: bool = False,
-                            sha: bool = False,
+                            sha: bool = False, assumptions=(),
                             min_rows: int = 64) -> TraceSet:
     """Bootstrap + simulate + pad; returns the TraceSet for all tables."""
     s = GenerationState(seg)
     s.sponge_enabled = sponge
     s.keccak_enabled = keccak
     s.sha_enabled = sha
+    s.assumptions = list(assumptions)
     generate_bootstrap(s, sponge=sponge)
 
     step = 0
