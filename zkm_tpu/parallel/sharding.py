@@ -76,3 +76,101 @@ def make_sharded_commit_step(mesh: Mesh, rate_bits: int = 2,
         return coeffs, digests, caps
 
     return lambda traces: step(traces, rate_bits, cap_height)
+
+
+def quotient_step(stark, coeffs: gl.Gf, alphas, degree_bits: int):
+    """(S, C, N) trace coeffs -> (S, n_alphas, 2N) alpha-combined
+    vanishing values on the 2N quotient coset (prover._quotient_core over
+    a dp batch of segments, stark-only constraints).
+
+    Constraint evaluation is pointwise over the coset, so the natural tp
+    axis is the *evaluation points*: each device evaluates every
+    constraint on its point shard; the next-row roll induces a boundary
+    permute that XLA lowers to a collective on a real mesh."""
+    from ..stark.algebra import BatchAlgebra
+    from ..stark.constraint_consumer import ConstraintConsumer
+    from ..stark.expr import evaluate_scheduled, feed_consumer
+    from ..stark.vanishing_poly import compile_vanishing
+
+    n = 1 << degree_bits
+    m = 2 * n
+    sched = compile_vanishing(stark, 0, (), 0)
+
+    lde = ntt.lde(coeffs, 1)                          # (S, C, 2N)
+
+    def roll(x, k):
+        return (jnp.concatenate([x[0][..., k:], x[0][..., :k]], axis=-1),
+                jnp.concatenate([x[1][..., k:], x[1][..., :k]], axis=-1))
+
+    nxt = roll(lde, 2)
+
+    from ..field.goldilocks import P
+    g = gl.primitive_root_of_unity(degree_bits)
+    w = gl.primitive_root_of_unity(degree_bits + 1)
+    pw = gl.host_powers(w, m).astype(object)
+    xs = gl.from_u64(((pw * gl.GENERATOR) % P).astype(np.uint64))
+    g_last = gl.host_pow(g, n - 1)
+    z_last = gl.sub(xs, gl.full((), g_last))
+
+    outs = []
+    s_count = lde[0].shape[0]
+    for s in range(s_count):
+        trace = (lde[0][s], lde[1][s])
+        trace_nxt = (nxt[0][s], nxt[1][s])
+        consumer = ConstraintConsumer(
+            BatchAlgebra(m), [gl.full((), a) for a in alphas], z_last,
+            gl.zeros((m,)), gl.zeros((m,)))
+        cvals = evaluate_scheduled(sched, trace, trace_nxt, [])
+        feed_consumer(sched, cvals, consumer)
+        outs.append(consumer.accs)
+    lo = jnp.stack([jnp.stack([acc[0] for acc in accs]) for accs in outs])
+    hi = jnp.stack([jnp.stack([acc[1] for acc in accs]) for accs in outs])
+    return (lo, hi)
+
+
+def make_sharded_quotient_step(mesh: Mesh, stark, alphas,
+                               degree_bits: int):
+    """jit of quotient_step: segments over dp, coset points over tp."""
+    in_shard = NamedSharding(mesh, P("dp", None, "tp"))
+    out_shard = NamedSharding(mesh, P("dp", None, "tp"))
+
+    @jax.jit
+    def step(coeffs):
+        coeffs = jax.lax.with_sharding_constraint(
+            coeffs, (in_shard, in_shard))
+        q = quotient_step(stark, coeffs, alphas, degree_bits)
+        return jax.lax.with_sharding_constraint(q, (out_shard, out_shard))
+
+    return step
+
+
+def fri_fold_step(values: gl.Gf, beta, arity_bits: int = 2):
+    """One FRI fold: (S, M) codeword values -> (S, M/arity) by combining
+    each stride-M/arity coset group with powers of beta (value-space fold,
+    fri/prover.py semantics)."""
+    m = values[0].shape[-1]
+    arity = 1 << arity_bits
+    stride = m // arity
+    groups = (values[0].reshape(*values[0].shape[:-1], arity, stride),
+              values[1].reshape(*values[1].shape[:-1], arity, stride))
+    acc = (groups[0][..., arity - 1, :], groups[1][..., arity - 1, :])
+    beta_gf = gl.full((), beta)
+    for i in reversed(range(arity - 1)):
+        acc = gl.add(gl.mul(acc, beta_gf),
+                     (groups[0][..., i, :], groups[1][..., i, :]))
+    return acc
+
+
+def make_sharded_fri_fold(mesh: Mesh, beta, arity_bits: int = 2):
+    """jit of fri_fold_step: segments over dp, codeword points over tp.
+    The fold's reshape regroups points, inducing the tp reshard."""
+    in_shard = NamedSharding(mesh, P("dp", "tp"))
+
+    @jax.jit
+    def step(values):
+        values = jax.lax.with_sharding_constraint(
+            values, (in_shard, in_shard))
+        out = fri_fold_step(values, beta, arity_bits)
+        return jax.lax.with_sharding_constraint(out, (in_shard, in_shard))
+
+    return step
