@@ -287,16 +287,18 @@ def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
     g = gl.primitive_root_of_unity(degree_bits)
     zeta_next = gl2.host_mul(zeta, (g, 0))
 
-    local_values = fri_oracle.eval_columns_at(trace_commitment.coeffs, zeta)
-    next_values = fri_oracle.eval_columns_at(trace_commitment.coeffs,
-                                             zeta_next)
-    aux_open = fri_oracle.eval_columns_at(aux_commitment.coeffs, zeta)
-    aux_open_next = fri_oracle.eval_columns_at(aux_commitment.coeffs,
-                                               zeta_next)
-    quotient_open = fri_oracle.eval_columns_at(quotient_commitment.coeffs,
-                                               zeta)
-    # openings at 1 = sum of coefficients (base field)
-    aux_at_one = gl.to_u64(gl.sum_axis(aux_commitment.coeffs, -1))
+    with timed("openings eval", table=type(stark).__name__):
+        local_values = fri_oracle.eval_columns_at(trace_commitment.coeffs,
+                                                  zeta)
+        next_values = fri_oracle.eval_columns_at(trace_commitment.coeffs,
+                                                 zeta_next)
+        aux_open = fri_oracle.eval_columns_at(aux_commitment.coeffs, zeta)
+        aux_open_next = fri_oracle.eval_columns_at(aux_commitment.coeffs,
+                                                   zeta_next)
+        quotient_open = fri_oracle.eval_columns_at(
+            quotient_commitment.coeffs, zeta)
+        # openings at 1 = sum of coefficients (base field)
+        aux_at_one = gl.to_u64(gl.sum_axis(aux_commitment.coeffs, -1))
     total_helpers = sum(ctl_data.num_ctl_helper_polys())
     ctl_zs_first = aux_at_one[num_lookup_columns + total_helpers:]
 

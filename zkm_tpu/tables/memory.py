@@ -122,39 +122,40 @@ def generate_rows(ops: List[MemoryOp], min_rows: int = 64) -> np.ndarray:
     n = 1 << (n - 1).bit_length()
     ops = ops + [pad_op] * (n - len(ops))
 
+    # column-major vectorized row build (the reference builds rows one at
+    # a time; at 2^20 ops the Python loop dominated witness time)
     rows = np.zeros((n, NUM_COLUMNS), dtype=np.uint64)
-    for r, op in enumerate(ops):
-        value = op.value
-        rows[r, FILTER] = int(op.filter)
-        rows[r, TIMESTAMP] = op.timestamp
-        rows[r, IS_READ] = int(op.is_read)
-        rows[r, ADDR_CONTEXT] = op.context
-        rows[r, ADDR_SEGMENT] = op.segment
-        rows[r, ADDR_VIRTUAL] = op.virt
-        rows[r, VALUE] = value
-    # first-change flags + range check
-    for r in range(n - 1):
-        ctx_ch = rows[r, ADDR_CONTEXT] != rows[r + 1, ADDR_CONTEXT]
-        seg_ch = (rows[r, ADDR_SEGMENT] != rows[r + 1, ADDR_SEGMENT]) \
-            and not ctx_ch
-        virt_ch = (rows[r, ADDR_VIRTUAL] != rows[r + 1, ADDR_VIRTUAL]) \
-            and not ctx_ch and not seg_ch
-        rows[r, CONTEXT_FIRST_CHANGE] = int(ctx_ch)
-        rows[r, SEGMENT_FIRST_CHANGE] = int(seg_ch)
-        rows[r, VIRTUAL_FIRST_CHANGE] = int(virt_ch)
-        if ctx_ch:
-            rc = rows[r + 1, ADDR_CONTEXT] - rows[r, ADDR_CONTEXT] - 1
-        elif seg_ch:
-            rc = rows[r + 1, ADDR_SEGMENT] - rows[r, ADDR_SEGMENT] - 1
-        elif virt_ch:
-            rc = rows[r + 1, ADDR_VIRTUAL] - rows[r, ADDR_VIRTUAL] - 1
-        else:
-            rc = rows[r + 1, TIMESTAMP] - rows[r, TIMESTAMP]
-        assert rc < n, f"range check {rc} too large; fill_gaps bug?"
-        rows[r, RANGE_CHECK] = rc
+    rows[:, FILTER] = np.fromiter((op.filter for op in ops), bool, n)
+    rows[:, TIMESTAMP] = np.fromiter(
+        (op.timestamp for op in ops), np.uint64, n)
+    rows[:, IS_READ] = np.fromiter((op.is_read for op in ops), bool, n)
+    rows[:, ADDR_CONTEXT] = np.fromiter(
+        (op.context for op in ops), np.uint64, n)
+    rows[:, ADDR_SEGMENT] = np.fromiter(
+        (op.segment for op in ops), np.uint64, n)
+    rows[:, ADDR_VIRTUAL] = np.fromiter(
+        (op.virt for op in ops), np.uint64, n)
+    rows[:, VALUE] = np.fromiter((op.value for op in ops), np.uint64, n)
+
+    # first-change flags + range check, vectorized over row pairs
+    ctx, seg = rows[:, ADDR_CONTEXT], rows[:, ADDR_SEGMENT]
+    virt, ts = rows[:, ADDR_VIRTUAL], rows[:, TIMESTAMP]
+    ctx_ch = ctx[:-1] != ctx[1:]
+    seg_ch = (seg[:-1] != seg[1:]) & ~ctx_ch
+    virt_ch = (virt[:-1] != virt[1:]) & ~ctx_ch & ~seg_ch
+    rows[:-1, CONTEXT_FIRST_CHANGE] = ctx_ch
+    rows[:-1, SEGMENT_FIRST_CHANGE] = seg_ch
+    rows[:-1, VIRTUAL_FIRST_CHANGE] = virt_ch
+    rc = np.where(
+        ctx_ch, ctx[1:] - ctx[:-1] - 1,
+        np.where(seg_ch, seg[1:] - seg[:-1] - 1,
+                 np.where(virt_ch, virt[1:] - virt[:-1] - 1,
+                          ts[1:] - ts[:-1])))
+    assert int(rc.max(initial=0)) < n, "range check too large; fill_gaps bug?"
+    rows[:-1, RANGE_CHECK] = rc
     rows[:, COUNTER] = np.arange(n, dtype=np.uint64)
-    for r in range(n):
-        rows[int(rows[r, RANGE_CHECK]), FREQUENCIES] += 1
+    freq = np.bincount(rows[:, RANGE_CHECK].astype(np.int64), minlength=n)
+    rows[:, FREQUENCIES] = freq
     return rows.T.copy()
 
 
