@@ -47,6 +47,19 @@ class MerkleTree:
             i >>= 1
         return sibs
 
+    def open_batch(self, indices) -> List[List[np.ndarray]]:
+        """Merkle paths for many leaves with one device gather + transfer
+        per level (37 FRI queries x log_m levels of per-query `open` calls
+        were hundreds of tiny device->host round-trips — seconds over a
+        remote-TPU tunnel).  Returns [per index: [sibling u64 (4,) ...]]."""
+        idx = np.array(indices, dtype=np.int64)     # copy: shifted in place
+        per_level = []
+        for level in self.levels[:-1]:
+            sib = gl.take(level, idx ^ 1, axis=0)
+            per_level.append(gl.to_u64(sib))        # (Q, 4)
+            idx >>= 1
+        return [[lvl[q] for lvl in per_level] for q in range(len(indices))]
+
 
 @jax.jit
 def _leaf_digests(leaves: gl.Gf) -> gl.Gf:

@@ -57,6 +57,15 @@ class PolynomialBatch:
         sibs = [gl.to_u64(s) for s in self.tree.open(index)]
         return self.leaf_row(index), sibs
 
+    def open_rows(self, indices):
+        """Batched open_row: one gather + transfer for all query leaves,
+        one per tree level for the paths."""
+        rows = gl.to_u64(gl.take(self.leaves, np.asarray(indices,
+                                                        dtype=np.int64),
+                                 axis=0))            # (Q, C)
+        paths = self.tree.open_batch(indices)
+        return rows, paths
+
 
 # Twiddle/bit-reversal tables enter as traced arguments (not baked graph
 # constants) so the compiled executables stay small — constants of LDE size

@@ -222,25 +222,36 @@ def fri_prove(oracles: Sequence[PolynomialBatch],
     indices = [challenger.get_challenge() % lde_size
                for _ in range(config.num_query_rounds)]
 
+    # Batched query extraction: one gather + device->host transfer per
+    # (oracle | layer) per tree level, instead of per query (37 queries x
+    # ~6 levels of tiny transfers crawl over a remote-TPU tunnel).
+    oracle_rows = []
+    oracle_paths = []
+    for oracle in oracles:
+        rows, paths = oracle.open_rows(indices)
+        oracle_rows.append(rows)
+        oracle_paths.append(paths)
+
+    step_data = []
+    idx_arr = np.asarray(indices, dtype=np.int64)
+    for (tree, leaves), arity_bits in zip(trees, arities):
+        arity = 1 << arity_bits
+        coset_idx = idx_arr >> arity_bits
+        rows = gl.to_u64(gl.take(leaves, coset_idx, axis=0))  # (Q, 2*arity)
+        paths = tree.open_batch(coset_idx)
+        step_data.append((arity, rows, paths))
+        idx_arr = coset_idx
+
     query_rounds = []
-    for x_index in indices:
-        evals_per_oracle = []
-        merkle_proofs = []
-        for oracle in oracles:
-            row, sibs = oracle.open_row(x_index)
-            evals_per_oracle.append(row)
-            merkle_proofs.append(sibs)
-        initial = FriInitialTreeProof(evals_per_oracle, merkle_proofs)
+    for q in range(len(indices)):
+        initial = FriInitialTreeProof(
+            [rows[q] for rows in oracle_rows],
+            [paths[q] for paths in oracle_paths])
         steps = []
-        idx = x_index
-        for (tree, leaves), arity_bits in zip(trees, arities):
-            arity = 1 << arity_bits
-            coset_idx = idx >> arity_bits
-            row = gl.to_u64(gl.getitem(leaves, coset_idx))
+        for arity, rows, paths in step_data:
+            row = rows[q]
             evals = np.stack([row[:arity], row[arity:]], axis=1)  # (arity, 2)
-            proof = [gl.to_u64(s) for s in tree.open(coset_idx)]
-            steps.append(FriQueryStep(evals=evals, merkle_proof=proof))
-            idx = coset_idx
+            steps.append(FriQueryStep(evals=evals, merkle_proof=paths[q]))
         query_rounds.append(FriQueryRound(initial, steps))
 
     return FriProof(commit_phase_merkle_caps=caps,
