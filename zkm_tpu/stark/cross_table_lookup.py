@@ -121,11 +121,11 @@ class CtlData:
 # Trace-side computation (device, vectorized).
 # ---------------------------------------------------------------------------
 
-def _combined_with_filter(trace: gl.Gf, columns: Tuple[Column, ...],
-                          filt: Optional[Filter],
-                          challenge: GrandProductChallenge):
-    """Per-row combine(columns)+gamma where filter==1, else 1; plus the
-    filter values.  Returns (masked_inverse, filter_vals)."""
+def _masked_combined(trace: gl.Gf, columns: Tuple[Column, ...],
+                     filt: Optional[Filter],
+                     challenge: GrandProductChallenge):
+    """Per-row combine(columns)+gamma where filter==1, else 1, plus the
+    mask (True where the row participates)."""
     col_vals = [c.eval_all_rows(trace) for c in columns]
     combined = challenge.combine_all_rows(col_vals)
     n = trace[0].shape[-1]
@@ -134,23 +134,33 @@ def _combined_with_filter(trace: gl.Gf, columns: Tuple[Column, ...],
     else:
         fvals = filt.eval_all_rows(trace)
     mask = (fvals[0] == 1) & (fvals[1] == 0)   # filter == 1 exactly
-    # rows with filter 0 use dummy 1 before inversion, then are zeroed
     safe = gl.select(mask, combined, gl.ones((n,)))
-    inv = gl.inverse(safe)
-    return gl.select(mask, inv, gl.zeros((n,))), fvals
+    return safe, mask
 
 
 def get_helper_cols(trace: gl.Gf, columns_filters, challenge,
                     constraint_degree: int) -> List[gl.Gf]:
-    """Chunks of (degree-1) column-sets; helper = sum of masked inverses."""
+    """Chunks of (degree-1) column-sets; helper = sum of masked inverses.
+
+    All column-sets invert in ONE stacked batch (a 34-entry sponge group
+    traced 34 separate 64-step inverse chains before; now one (k, n)
+    inverse)."""
+    terms = [_masked_combined(trace, cols, filt, challenge)
+             for cols, filt in columns_filters]
+    stacked = (jnp.stack([t[0][0] for t in terms]),
+               jnp.stack([t[0][1] for t in terms]))
+    masks = jnp.stack([t[1] for t in terms])
+    inv = gl.inverse(stacked)                       # (k, n)
+    zero = gl.zeros(masks.shape)
+    masked = gl.select(masks, inv, zero)
+
     batch = constraint_degree - 1
     out = []
     for i in range(0, len(columns_filters), batch):
-        chunk = columns_filters[i:i + batch]
-        acc = None
-        for cols, filt in chunk:
-            term, _ = _combined_with_filter(trace, cols, filt, challenge)
-            acc = term if acc is None else gl.add(acc, term)
+        hi = min(i + batch, len(columns_filters))
+        acc = (masked[0][i], masked[1][i])
+        for j in range(i + 1, hi):
+            acc = gl.add(acc, (masked[0][j], masked[1][j]))
         out.append(acc)
     return out
 
