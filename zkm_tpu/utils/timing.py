@@ -83,11 +83,13 @@ class TimingTree(threading.local):
         s.duration = time.monotonic() - s.start
         assert self.stack and self.stack[-1] is s
         self.stack.pop()
+        if _env_level() >= _LEVELS["info"] and s.duration >= 0.005:
+            # stream each scope as it closes (children already printed)
+            print(f"[zkm:time] {'  ' * len(self.stack)}"
+                  f"{s.duration:8.3f}s {s.label()}",
+                  file=sys.stderr, flush=True)
         if not self.stack:
             self.finished.append(s)
-            if _env_level() >= _LEVELS["info"]:
-                for line in s.render(min_seconds=0.005):
-                    print(f"[zkm:time] {line}", file=sys.stderr, flush=True)
 
     def pop_finished(self) -> List[Scope]:
         out, self.finished = self.finished, []
