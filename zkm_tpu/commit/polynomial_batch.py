@@ -95,7 +95,7 @@ def from_values(values: gl.Gf, rate_bits: int, cap_height: int) -> PolynomialBat
     coeffs, leaves = _values_to_commitment_arrays(
         values, rate_bits, ntt.ntt_aux(log_n, True),
         ntt.lde_aux(log_n, rate_bits),
-        ntt._rev_indices_dev(log_n + rate_bits))
+        ntt.rev_indices_arg(log_n + rate_bits))
     tree = build_merkle_tree(leaves, cap_height)
     return PolynomialBatch(coeffs=coeffs, leaves=leaves, tree=tree,
                            rate_bits=rate_bits, cap_height=cap_height)
@@ -105,7 +105,7 @@ def from_coeffs(coeffs: gl.Gf, rate_bits: int, cap_height: int) -> PolynomialBat
     log_n = coeffs[0].shape[-1].bit_length() - 1
     leaves = _coeffs_to_commitment_arrays(
         coeffs, rate_bits, ntt.lde_aux(log_n, rate_bits),
-        ntt._rev_indices_dev(log_n + rate_bits))
+        ntt.rev_indices_arg(log_n + rate_bits))
     tree = build_merkle_tree(leaves, cap_height)
     return PolynomialBatch(coeffs=coeffs, leaves=leaves, tree=tree,
                            rate_bits=rate_bits, cap_height=cap_height)
