@@ -48,17 +48,30 @@ class MerkleTree:
         return sibs
 
     def open_batch(self, indices) -> List[List[np.ndarray]]:
-        """Merkle paths for many leaves with one device gather + transfer
-        per level (37 FRI queries x log_m levels of per-query `open` calls
-        were hundreds of tiny device->host round-trips — seconds over a
-        remote-TPU tunnel).  Returns [per index: [sibling u64 (4,) ...]]."""
-        idx = np.array(indices, dtype=np.int64)     # copy: shifted in place
-        per_level = []
-        for level in self.levels[:-1]:
-            sib = gl.take(level, idx ^ 1, axis=0)
-            per_level.append(gl.to_u64(sib))        # (Q, 4)
-            idx >>= 1
-        return [[lvl[q] for lvl in per_level] for q in range(len(indices))]
+        """Merkle paths for many leaves in ONE jitted gather over all
+        levels + one transfer (37 FRI queries x log_m levels of per-query
+        `open` calls were hundreds of tiny device->host round-trips, and
+        per-level dispatch still paid ~60 kernel compiles on a remote-TPU
+        backend).  Returns [per index: [sibling u64 (4,) ...]]."""
+        idx = np.array(indices, dtype=np.int64)
+        stacked = _open_batch_core(tuple(self.levels[:-1]), idx)
+        arr = gl.to_u64(stacked)                    # (L, Q, 4), one transfer
+        return [[arr[lvl, q] for lvl in range(arr.shape[0])]
+                for q in range(len(indices))]
+
+
+@jax.jit
+def _open_batch_core(levels, idx):
+    """Gather sibling digests for every level in one compiled call:
+    levels = tuple of (lo, hi) (L_k, 4) pairs; idx (Q,) leaf indices.
+    Returns stacked (n_levels, Q, 4) Gf."""
+    out_lo, out_hi = [], []
+    for lo, hi in levels:
+        sib_idx = idx ^ 1
+        out_lo.append(lo[sib_idx])
+        out_hi.append(hi[sib_idx])
+        idx = idx >> 1
+    return (jnp.stack(out_lo), jnp.stack(out_hi))
 
 
 @jax.jit
