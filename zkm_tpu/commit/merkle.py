@@ -10,6 +10,7 @@ which is what the challenger observes.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List
 
 import jax
@@ -86,14 +87,29 @@ def _compress_level(cur: gl.Gf) -> gl.Gf:
     return ps.two_to_one(left, right)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _build_levels(leaves: gl.Gf, cap_height: int):
+    """Leaf digests + every fold level in ONE compiled graph: per-level
+    jits each paid a fresh Pallas lowering (~20 s/shape/process on TPU);
+    inside one trace the identical fixed-chunk permutes share it."""
+    levels = [ps.hash_or_noop(leaves)]
+    while levels[-1][0].shape[0] > (1 << cap_height):
+        levels.append(_compress_level_body(levels[-1]))
+    return levels
+
+
+def _compress_level_body(cur: gl.Gf) -> gl.Gf:
+    left = gl.getitem(cur, (slice(0, None, 2),))
+    right = gl.getitem(cur, (slice(1, None, 2),))
+    return ps.two_to_one(left, right)
+
+
 def build_merkle_tree(leaves: gl.Gf, cap_height: int) -> MerkleTree:
     """leaves: (L, W) field elements; L a power of two, L >= 2^cap_height."""
     n = leaves[0].shape[0]
     assert n & (n - 1) == 0 and n >= (1 << cap_height)
-    levels = [_leaf_digests(leaves)]
-    while levels[-1][0].shape[0] > (1 << cap_height):
-        levels.append(_compress_level(levels[-1]))
-    return MerkleTree(levels=levels, cap_height=cap_height)
+    return MerkleTree(levels=_build_levels(leaves, cap_height),
+                      cap_height=cap_height)
 
 
 def verify_merkle_proof(leaf_data: gl.Gf, index: int, siblings, cap: gl.Gf) -> bool:

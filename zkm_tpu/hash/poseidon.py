@@ -103,20 +103,44 @@ def _partial_round(state: gl.Gf, rc: gl.Gf) -> gl.Gf:
     return _mds_layer(state)
 
 
+PALLAS_CHUNK = 1 << 14
+
+
 def permute(state: gl.Gf) -> gl.Gf:
     """The full 30-round Poseidon permutation on (..., 12) states.
 
     On TPU, large 2-D batches dispatch to the Pallas kernel
     (zkm_tpu/ops/pallas_poseidon.py; ~5.5x the XLA path — the whole
-    permutation stays in VMEM).  Elsewhere: rounds under `lax.scan`
-    (compiler-friendly: one round body compiled per phase instead of a
-    30x-unrolled graph).
+    permutation stays in VMEM) — always at ONE fixed chunk shape
+    (PALLAS_CHUNK, 12) via lax.map: every distinct Pallas shape costs
+    ~30 s of uncached Mosaic lowering per process, so a 2^18-leaf Merkle
+    build with per-level shapes paid minutes of compile for milliseconds
+    of math.  Batches below the chunk take the XLA scan path (fast to
+    compile, adequate at small sizes).
     """
     lo = state[0]
-    if (lo.ndim == 2 and lo.shape[0] % 128 == 0
-            and jax.default_backend() == "tpu"):
+    if lo.ndim == 2 and jax.default_backend() == "tpu":
+        # small batches pad up to one chunk: the wasted permutes cost ~1ms,
+        # while the XLA scan path costs ~166s of TPU compile per shape
         from ..ops import pallas_poseidon
-        return pallas_poseidon.permute_batch(state, use_pallas=True)
+        b = lo.shape[0]
+        padded = -b % PALLAS_CHUNK
+        if padded:
+            cfg = [(0, padded), (0, 0)]
+            state = (jnp.pad(lo, cfg), jnp.pad(state[1], cfg))
+        m = state[0].shape[0]
+        if m == PALLAS_CHUNK:
+            out = pallas_poseidon.permute_batch(state, use_pallas=True)
+        else:
+            chunked = (state[0].reshape(m // PALLAS_CHUNK, PALLAS_CHUNK, 12),
+                       state[1].reshape(m // PALLAS_CHUNK, PALLAS_CHUNK, 12))
+            out = jax.lax.map(
+                lambda s: pallas_poseidon.permute_batch(s, use_pallas=True),
+                chunked)
+            out = (out[0].reshape(m, 12), out[1].reshape(m, 12))
+        if padded:
+            out = (out[0][:b], out[1][:b])
+        return out
     h = C.HALF_N_FULL_ROUNDS
     p = C.N_PARTIAL_ROUNDS
 
