@@ -87,15 +87,20 @@ def _compress_level(cur: gl.Gf) -> gl.Gf:
     return ps.two_to_one(left, right)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _build_levels(leaves: gl.Gf, cap_height: int):
-    """Leaf digests + every fold level in ONE compiled graph: per-level
-    jits each paid a fresh Pallas lowering (~20 s/shape/process on TPU);
-    inside one trace the identical fixed-chunk permutes share it."""
+def build_levels_body(leaves: gl.Gf, cap_height: int):
+    """Traceable body: leaf digests + every fold level (embed in a larger
+    jit to share one Pallas lowering across the fixed-chunk permutes)."""
     levels = [ps.hash_or_noop(leaves)]
     while levels[-1][0].shape[0] > (1 << cap_height):
         levels.append(_compress_level_body(levels[-1]))
     return levels
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _build_levels(leaves: gl.Gf, cap_height: int):
+    """One compiled graph per (shape, cap): per-level jits each paid a
+    fresh Pallas lowering (~20 s/shape/process on TPU)."""
+    return build_levels_body(leaves, cap_height)
 
 
 def _compress_level_body(cur: gl.Gf) -> gl.Gf:

@@ -27,7 +27,7 @@ from ..field import goldilocks as gl
 from ..field import extension as gl2
 from ..field import ntt
 from ..hash import poseidon as ps
-from ..commit.merkle import build_merkle_tree
+from ..commit.merkle import MerkleTree, build_merkle_tree
 from ..commit.polynomial_batch import PolynomialBatch
 from ..iop.challenger import Challenger
 from .config import FriConfig
@@ -56,8 +56,8 @@ def _even_point_invs(log_m: int, shift: int):
             (arr >> np.uint64(32)).astype(np.uint32))
 
 
-@jax.jit
-def _fold_step(values: gl2.Gf2, beta: gl2.Gf2, inv_xs: gl.Gf) -> gl2.Gf2:
+def _fold_step_body(values: gl2.Gf2, beta: gl2.Gf2,
+                    inv_xs: gl.Gf) -> gl2.Gf2:
     """One radix-2 fold: folded_j = (v_{2j}+v_{2j+1})/2 + beta*(v_{2j}-v_{2j+1})/(2 x_j)."""
     v0 = gl2.getitem(values, (slice(0, None, 2),))
     v1 = gl2.getitem(values, (slice(1, None, 2),))
@@ -68,15 +68,28 @@ def _fold_step(values: gl2.Gf2, beta: gl2.Gf2, inv_xs: gl.Gf) -> gl2.Gf2:
     return gl2.mul_base(gl2.add(s, term), half)
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _fold_full(values: gl2.Gf2, b: gl2.Gf2, arity_bits: int,
+               log_m: int, shift: int) -> gl2.Gf2:
+    """All arity_bits radix-2 folds in one compiled call (one dispatch
+    per layer instead of arity_bits — dispatch RTT dominates over a
+    remote-TPU tunnel)."""
+    for _ in range(arity_bits):
+        inv_xs = _even_point_invs(log_m, shift)
+        values = _fold_step_body(values, b, inv_xs)
+        b = gl2.square(b)
+        log_m -= 1
+        shift = gl.host_mul(shift, shift)
+    return values
+
+
 def fold_layer(values: gl2.Gf2, beta: Tuple[int, int], arity_bits: int,
                log_m: int, shift: int) -> Tuple[gl2.Gf2, int, int]:
     """Arity-2^k fold = k radix-2 folds with beta^(2^t). Returns
     (folded values, new log size, new shift)."""
     b = gl2.scalar_from_u64s(*beta)
+    values = _fold_full(values, b, arity_bits, log_m, shift)
     for _ in range(arity_bits):
-        inv_xs = _even_point_invs(log_m, shift)
-        values = _fold_step(values, b, inv_xs)
-        b = gl2.square(b)
         log_m -= 1
         shift = gl.host_mul(shift, shift)
     return values, log_m, shift
@@ -93,6 +106,14 @@ def _chunk_leaves(values: gl2.Gf2, arity: int) -> gl.Gf:
     lo = lo.at[:, :arity].set(c0[0]).at[:, arity:].set(c1[0])
     hi = hi.at[:, :arity].set(c0[1]).at[:, arity:].set(c1[1])
     return lo, hi
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _chunk_and_tree(values: gl2.Gf2, arity: int, cap_height: int):
+    """Leaf chunking + the whole Merkle build in one dispatch per layer."""
+    from ..commit.merkle import build_levels_body
+    leaves = _chunk_leaves.__wrapped__(values, arity)
+    return leaves, build_levels_body(leaves, cap_height)
 
 
 # ---------------------------------------------------------------------------
@@ -186,8 +207,8 @@ def fri_prove(oracles: Sequence[PolynomialBatch],
     for arity_bits in arities:
         arity = 1 << arity_bits
         layers.append(values)
-        leaves = _chunk_leaves(values, arity)
-        tree = build_merkle_tree(leaves, config.cap_height)
+        leaves, levels = _chunk_and_tree(values, arity, config.cap_height)
+        tree = MerkleTree(levels=levels, cap_height=config.cap_height)
         trees.append((tree, leaves))
         cap = gl.to_u64(tree.cap)
         caps.append(cap)
