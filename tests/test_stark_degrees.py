@@ -2,6 +2,8 @@
 
 import pytest
 
+from zkm_tpu.recursion.shrink import (PoseidonCallStark, VerifierProgramStark,
+                                      VerifierVmStark, WireMemStark)
 from zkm_tpu.stark.stark_testing import check_stark_low_degree
 from zkm_tpu.tables.arithmetic import ArithmeticStark
 from zkm_tpu.tables.logic import LogicStark
@@ -10,6 +12,7 @@ from zkm_tpu.tables.poseidon import PoseidonStark
 
 
 @pytest.mark.parametrize("stark_cls", [
-    LogicStark, MemoryStark, ArithmeticStark, PoseidonStark])
+    LogicStark, MemoryStark, ArithmeticStark, PoseidonStark,
+    VerifierVmStark, WireMemStark, PoseidonCallStark, VerifierProgramStark])
 def test_low_degree(stark_cls):
     check_stark_low_degree(stark_cls())

@@ -9,8 +9,11 @@ STARK engine.
 
 from .dag import Dag, Wire, ReplayFailure, evaluate
 from .verifier_dag import VerifierDag, flatten_proof, record_verifier
+from .shrink import (ShrinkCircuit, build_shrink_circuit, prove_shrink,
+                     verify_shrink)
 
 __all__ = [
     "Dag", "Wire", "ReplayFailure", "evaluate",
     "VerifierDag", "flatten_proof", "record_verifier",
+    "ShrinkCircuit", "build_shrink_circuit", "prove_shrink", "verify_shrink",
 ]

@@ -317,7 +317,7 @@ def _fri_batch_values(op: WOpenings, zero: Wire):
 def _sym_verify_table(dag: Dag, alg: RecExtAlgebra, stark, wproof: WStarkProof,
                       config: StarkConfig, ch: SymChallenger, ctl_vars,
                       num_lookup_columns: int, lookup_challenges,
-                      tlabel: str):
+                      tlabel: str, publics=()):
     op = wproof.openings
     degree_bits = wproof.degree_bits
     n = 1 << degree_bits
@@ -357,7 +357,7 @@ def _sym_verify_table(dag: Dag, alg: RecExtAlgebra, stark, wproof: WStarkProof,
     local = ExtRows(op.local_values)
     nxt = ExtRows(op.next_values)
     eval_vanishing_poly(alg, stark, local, nxt, lookup_vars, ctl_vars,
-                        consumer)
+                        consumer, publics)
 
     factor = stark.quotient_degree_factor
     for i, acc in enumerate(consumer.accs):
@@ -434,13 +434,25 @@ class VerifierDag:
 
 
 def record_verifier(starks: Sequence, ctls, config: StarkConfig,
-                    template: AllProof) -> VerifierDag:
+                    template: AllProof, cap_pins=None) -> VerifierDag:
     """Record the full verify_proof dataflow for proofs shaped like
-    `template`.  dag.evaluate(flatten_proof(p)) == native verify_proof(p)."""
+    `template`.  dag.evaluate(flatten_proof(p)) == native verify_proof(p).
+
+    cap_pins: optional {table_index: (2^cap, 4) int rows} pinning that
+    table's trace cap to constants — the verifying-key check when the
+    recorded proof is a shrink proof (its program-table cap identifies the
+    circuit)."""
     dag = Dag()
     alg = RecExtAlgebra(dag)
     wp = reflect_proof(dag, template)
     num_tables = len(starks)
+
+    for t, rows in (cap_pins or {}).items():
+        for r, row in enumerate(rows):
+            for i, v in enumerate(row):
+                dag.assert_eq(wp.stark_proofs[t].trace_cap[r][i],
+                              dag.constant(int(v)),
+                              f"t{t}:vk cap[{r}][{i}]")
 
     ch = SymChallenger(dag)
     for t in wp.stark_proofs:
@@ -468,9 +480,12 @@ def record_verifier(starks: Sequence, ctls, config: StarkConfig,
                           f"t{t}:challenger state {i}")
         lookup_challenges = [c.beta for c in ctl_challenges.challenges] \
             if stark.uses_lookups() else None
+        publics = stark.public_inputs(wp.roots_before, wp.roots_after,
+                                      wp.userdata) \
+            if stark.num_public_inputs else ()
         _sym_verify_table(dag, alg, stark, wproof, config, ch,
                           ctl_vars_per_table[t], num_lookup_columns[t],
-                          lookup_challenges, f"t{t}")
+                          lookup_challenges, f"t{t}", publics)
 
     # cross-table lookup sum check (verify_cross_table_lookups over wires)
     iters = [iter(t.openings.ctl_zs_first) for t in wp.stark_proofs]

@@ -120,7 +120,7 @@ class DebugConsumer:
 
 
 def check_stark_constraints(stark, trace_u64: np.ndarray,
-                            raise_on_error: bool = True):
+                            raise_on_error: bool = True, publics=()):
     """trace_u64: (C, N) uint64 raw values; evaluates stark.eval_generic on
     every (row, next-row) pair at once."""
     obj = trace_u64.astype(object)
@@ -129,7 +129,10 @@ def check_stark_constraints(stark, trace_u64: np.ndarray,
     nxt = np.concatenate([obj[:, 1:], obj[:, :1]], axis=1)
     nv = NpRows(nxt)
     consumer = DebugConsumer(n)
-    stark.eval_generic(NpAlgebra(), lv, nv, consumer)
+    if stark.num_public_inputs:
+        stark.eval_generic(NpAlgebra(), lv, nv, consumer, list(publics))
+    else:
+        stark.eval_generic(NpAlgebra(), lv, nv, consumer)
     if consumer.violations and raise_on_error:
         lines = [f"{len(consumer.violations)} constraint violations "
                  f"(of {consumer.count} constraints):"]

@@ -51,6 +51,16 @@ def observe_public_values(challenger: Challenger, pv: PublicValues):
     challenger.observe_elements(list(pv.userdata))
 
 
+def public_inputs_of(stark, pv: PublicValues) -> tuple:
+    """The per-table public-input scalars selected from the proof claim."""
+    if not stark.num_public_inputs:
+        return ()
+    return tuple(stark.public_inputs(
+        [int(v) for v in pv.roots_before.root],
+        [int(v) for v in pv.roots_after.root],
+        [int(b) for b in pv.userdata]))
+
+
 @lru_cache(maxsize=None)
 def _quotient_xs(degree_bits: int):
     """x_i = g * w^i over the 2n coset (numpy u32 pair)."""
@@ -124,7 +134,7 @@ def _quotient_domain_tables(degree_bits: int):
 def _quotient_core(stark, degree_bits: int, trace_coeffs: gl.Gf,
                    aux_coeffs, alphas_gf, num_lookup: int,
                    ctl_structure, chal_gfs, domain_tables,
-                   lde_a) -> List[gl.Gf]:
+                   lde_a, pub_gfs=()) -> List[gl.Gf]:
     """Evaluate the alpha-combined vanishing polynomial / Z_H over the
     quotient coset (size 2n).  Returns one (2n,) array per alpha.
 
@@ -145,14 +155,15 @@ def _quotient_core(stark, degree_bits: int, trace_coeffs: gl.Gf,
     consumer = ConstraintConsumer(
         algebra, list(alphas_gf), z_last, lag_first, lag_last)
     eval_vanishing_scheduled(stark, num_lookup, ctl_structure, full,
-                             full_next, chal_gfs, consumer)
+                             full_next, chal_gfs, consumer, pub_gfs)
     return [gl.mul(acc, inv_zh) for acc in consumer.accs]
 
 
 @partial(jax.jit, static_argnums=(0, 1, 5, 6))
 def _check_constraints_core(stark, degree_bits: int, trace_values: gl.Gf,
                             aux_values, alphas_gf, num_lookup: int,
-                            ctl_structure, chal_gfs) -> List[gl.Gf]:
+                            ctl_structure, chal_gfs,
+                            pub_gfs=()) -> List[gl.Gf]:
     """Evaluate all constraints *on H itself* (reference `check_constraints`,
     prover.rs:793-910): row selectors become indicator vectors; every
     accumulator row must come out zero."""
@@ -177,15 +188,16 @@ def _check_constraints_core(stark, degree_bits: int, trace_values: gl.Gf,
         gl.from_u64(first), gl.from_u64(last))
 
     eval_vanishing_scheduled(stark, num_lookup, ctl_structure, full,
-                             full_next, chal_gfs, consumer)
+                             full_next, chal_gfs, consumer, pub_gfs)
     return consumer.accs
 
 
 def check_constraints(stark, trace_values, aux_values, alphas, num_lookup,
-                      ctl_structure, chal_gfs, degree_bits):
+                      ctl_structure, chal_gfs, degree_bits, pub_gfs=()):
     accs = _check_constraints_core(
         stark, degree_bits, trace_values, aux_values,
-        [_const(a) for a in alphas], num_lookup, ctl_structure, chal_gfs)
+        [_const(a) for a in alphas], num_lookup, ctl_structure, chal_gfs,
+        pub_gfs)
     for i, acc in enumerate(accs):
         vals = gl.to_u64(acc)
         bad = np.nonzero(vals)[0]
@@ -218,7 +230,8 @@ def _quotient_chunks(quotient_values: List[gl.Gf], n: int) -> gl.Gf:
 def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
                        trace_commitment: pb.PolynomialBatch, ctl_data,
                        ctl_challenges, challenger: Challenger,
-                       debug: bool = False) -> StarkProofWithMetadata:
+                       debug: bool = False,
+                       publics=()) -> StarkProofWithMetadata:
     n = trace_values[0].shape[-1]
     degree_bits = n.bit_length() - 1
     rate_bits = config.fri_config.rate_bits
@@ -258,19 +271,20 @@ def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
                 for c in ctl_challenges.challenges]
     ctl_structure = ctl_structure_of(ctl_data, chal_index)
     alphas_gf = [_const(a) for a in alphas]
+    pub_gfs = tuple(_const(p) for p in publics)
 
     if debug:
         with timed("check_constraints", table=type(stark).__name__):
             check_constraints(stark, trace_values, aux_values, alphas,
                               num_lookup_columns, ctl_structure, chal_gfs,
-                              degree_bits)
+                              degree_bits, pub_gfs)
 
     with timed("quotient eval", table=type(stark).__name__, n=n):
         quotient_values = _quotient_core(
             stark, degree_bits, trace_commitment.coeffs,
             aux_commitment.coeffs, alphas_gf, num_lookup_columns,
             ctl_structure, chal_gfs, _quotient_domain_tables(degree_bits),
-            ntt.lde_aux(degree_bits, 1))
+            ntt.lde_aux(degree_bits, 1), pub_gfs)
         quotient_values[0][0].block_until_ready()
 
     with timed("quotient commit"):
@@ -371,6 +385,7 @@ def prove_with_traces(starks: Sequence, config: StarkConfig,
                    n=trace[0].shape[-1]):
             proofs.append(prove_single_table(
                 stark, config, trace, commitment, ctl_data, ctl_challenges,
-                challenger, debug=debug))
+                challenger, debug=debug,
+                publics=public_inputs_of(stark, public_values)))
     return AllProof(stark_proofs=proofs, ctl_challenges=ctl_challenges,
                     public_values=public_values)

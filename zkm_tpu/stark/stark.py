@@ -23,6 +23,13 @@ class Stark:
 
     num_columns: int = 0
     constraint_degree: int = 3
+    # Number of public-input scalars bound into the constraints (boundary
+    # constraints against per-proof public values).  Tables with publics
+    # implement eval_generic with a trailing `publics` argument; the claim
+    # values ride the same PARAM mechanism as the CTL challenges on the
+    # device path (stark/expr.py), host ints on the verifier, and wires in
+    # the recursion recorder.
+    num_public_inputs: int = 0
 
     def __hash__(self):
         return hash(type(self))
@@ -32,6 +39,12 @@ class Stark:
 
     def eval_generic(self, algebra, local, nxt, consumer):
         raise NotImplementedError
+
+    def public_inputs(self, roots_before, roots_after, userdata) -> list:
+        """Select this table's public-input scalars from the proof claim
+        (roots_before/after: 8 elements each; userdata: 32 elements).
+        Generic over element type (ints, traced scalars, or DAG wires)."""
+        return []
 
     def lookups(self) -> List[Lookup]:
         return []

@@ -54,7 +54,12 @@ def check_stark_low_degree(stark, degree_bits: int = 3, seed: int = 0):
     alphas = [gl.full((), 3), gl.full((), 5)]
     consumer = ConstraintConsumer(algebra, alphas, z_last, lag_first,
                                   lag_last)
-    stark.eval_generic(algebra, local, nxt, consumer)
+    if stark.num_public_inputs:
+        pubs = [gl.full((), int(v)) for v in rng.integers(
+            0, P, size=stark.num_public_inputs, dtype=np.uint64)]
+        stark.eval_generic(algebra, local, nxt, consumer, pubs)
+    else:
+        stark.eval_generic(algebra, local, nxt, consumer)
 
     max_degree = 3 * (n - 1) + n
     for k, acc in enumerate(consumer.accs):

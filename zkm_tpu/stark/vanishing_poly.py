@@ -25,9 +25,15 @@ from .lookup import eval_packed_lookups_generic
 
 
 def eval_vanishing_poly(algebra, stark, local, nxt, lookup_vars, ctl_vars,
-                        consumer):
-    """lookup_vars: None or (lookup_local, lookup_next, challenges)."""
-    stark.eval_generic(algebra, local, nxt, consumer)
+                        consumer, publics=()):
+    """lookup_vars: None or (lookup_local, lookup_next, challenges).
+    publics: per-proof public-input scalars (only for starks with
+    num_public_inputs > 0); passed through to eval_generic."""
+    if stark.num_public_inputs:
+        assert len(publics) == stark.num_public_inputs
+        stark.eval_generic(algebra, local, nxt, consumer, publics)
+    else:
+        stark.eval_generic(algebra, local, nxt, consumer)
     if lookup_vars is not None:
         lookup_local, lookup_next, challenges = lookup_vars
         eval_packed_lookups_generic(
@@ -56,7 +62,13 @@ def compile_vanishing(stark, num_lookup: int, ctl_structure,
     lv = expr._SymRows(a, False)
     nv = expr._SymRows(a, True)
     consumer = expr.SymConsumer()
-    stark.eval_generic(a, lv, nv, consumer)
+    if stark.num_public_inputs:
+        # publics are PARAM nodes AFTER the challenge params
+        pub_nodes = [a.param(2 * num_challenges + i)
+                     for i in range(stark.num_public_inputs)]
+        stark.eval_generic(a, lv, nv, consumer, pub_nodes)
+    else:
+        stark.eval_generic(a, lv, nv, consumer)
 
     chal_nodes = [(a.param(2 * i), a.param(2 * i + 1))
                   for i in range(num_challenges)]
@@ -86,11 +98,13 @@ def compile_vanishing(stark, num_lookup: int, ctl_structure,
 
 
 def eval_vanishing_scheduled(stark, num_lookup: int, ctl_structure,
-                             full_local, full_next, chal_gfs, consumer):
+                             full_local, full_next, chal_gfs, consumer,
+                             pub_gfs=()):
     """Device path: full_local/full_next are (C+A, M) Gf stacks of trace and
-    aux columns; chal_gfs = [(beta, gamma) () Gf scalar pairs]."""
+    aux columns; chal_gfs = [(beta, gamma) () Gf scalar pairs]; pub_gfs =
+    per-proof public-input () Gf scalars (params after the challenges)."""
     sched = compile_vanishing(stark, num_lookup, ctl_structure,
                               len(chal_gfs))
-    params = [v for pair in chal_gfs for v in pair]
+    params = [v for pair in chal_gfs for v in pair] + list(pub_gfs)
     cvals = expr.evaluate_scheduled(sched, full_local, full_next, params)
     expr.feed_consumer(sched, cvals, consumer)

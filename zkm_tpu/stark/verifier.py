@@ -24,7 +24,7 @@ from .cross_table_lookup import (ctl_check_vars_from_proofs,
                                  num_ctl_helper_columns_by_table,
                                  verify_cross_table_lookups)
 from .proof import AllProof, StarkProofWithMetadata
-from .prover import observe_public_values
+from .prover import observe_public_values, public_inputs_of
 from .vanishing_poly import eval_vanishing_poly
 
 P = gl.P
@@ -37,7 +37,7 @@ def _ext(arr_row) -> tuple:
 def verify_stark_proof_with_challenges(stark, proof_meta, config,
                                        challenger: Challenger,
                                        ctl_vars, num_lookup_columns: int,
-                                       lookup_challenges):
+                                       lookup_challenges, publics=()):
     proof = proof_meta.proof
     degree_bits = proof_meta.degree_bits
     n = 1 << degree_bits
@@ -79,7 +79,8 @@ def verify_stark_proof_with_challenges(stark, proof_meta, config,
         lookup_vars = (aux_local[:num_lookup_columns],
                        aux_next[:num_lookup_columns], lookup_challenges)
 
-    eval_vanishing_poly(a, stark, local, nxt, lookup_vars, ctl_vars, consumer)
+    eval_vanishing_poly(a, stark, local, nxt, lookup_vars, ctl_vars, consumer,
+                        publics)
 
     # quotient identity: acc_i == Z_H(zeta) * (q_{i,0} + zeta^n q_{i,1})
     factor = stark.quotient_degree_factor
@@ -154,7 +155,8 @@ def verify_proof(starks: Sequence, all_proof: AllProof, ctls,
             if stark.uses_lookups() else None
         verify_stark_proof_with_challenges(
             stark, proof_meta, config, challenger, ctl_vars_per_table[t],
-            num_lookup_columns[t], lookup_challenges)
+            num_lookup_columns[t], lookup_challenges,
+            public_inputs_of(stark, all_proof.public_values))
 
     ctl_zs_first = [
         [int(v) for v in p.proof.openings.ctl_zs_first]
