@@ -8,12 +8,17 @@ STARK engine.
 """
 
 from .dag import Dag, Wire, ReplayFailure, evaluate
-from .verifier_dag import VerifierDag, flatten_proof, record_verifier
-from .shrink import (ShrinkCircuit, build_shrink_circuit, prove_shrink,
+from .verifier_dag import (VerifierDag, flatten_proof, record_chain,
+                           record_verifier)
+from .shrink import (ShrinkCircuit, build_aggregation_circuit,
+                     build_shrink_circuit, prove_aggregation, prove_shrink,
                      verify_shrink)
+from .aggregate import AggItem, AggregationTree
 
 __all__ = [
     "Dag", "Wire", "ReplayFailure", "evaluate",
-    "VerifierDag", "flatten_proof", "record_verifier",
+    "VerifierDag", "flatten_proof", "record_verifier", "record_chain",
     "ShrinkCircuit", "build_shrink_circuit", "prove_shrink", "verify_shrink",
+    "build_aggregation_circuit", "prove_aggregation",
+    "AggItem", "AggregationTree",
 ]

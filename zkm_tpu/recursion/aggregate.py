@@ -1,0 +1,112 @@
+"""Stage R3 driver: binary aggregation tree + block chaining.
+
+Reference analog: /root/reference/prover/src/fixed_recursive_verifier.rs
+:920-980 (`prove_aggregation` — cyclic binary nodes over (agg|root)
+children) and :991-1067 (`prove_block` — chaining across blocks), driven
+pairwise by prover/examples/utils/src/utils.rs:105-154.
+
+The TPU-native node (recursion/shrink.py `build_aggregation_circuit`) is
+one recorded DAG verifying both children with their verifying keys
+(program-table caps) pinned in-DAG, plus the continuation equalities.
+Where the reference uses ONE cyclic circuit whose children carry their
+verifier data as public inputs, this driver builds one circuit per
+distinct (child shapes, child verifying keys) signature, lazily, and
+caches it — levels of a balanced tree share a signature, so a tree of any
+width needs O(log distinct-shapes) recordings, and every node at a level
+is an independent proof (dp-parallel across hosts; the tree reduces over
+DCN, SURVEY §2.7).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..stark.proof import AllProof
+from ..utils.timing import timed
+from .shrink import (ShrinkCircuit, build_aggregation_circuit,
+                     prove_aggregation, prove_shrink, verify_shrink)
+
+
+@dataclass
+class AggItem:
+    """A proof in the tree plus the verifying key of its circuit."""
+    proof: AllProof
+    program_cap: np.ndarray
+
+    def key(self) -> tuple:
+        shape = tuple(pm.degree_bits for pm in self.proof.stark_proofs)
+        return (shape, self.program_cap.tobytes())
+
+
+class AggregationTree:
+    """Shrinks segment proofs and binary-reduces them to one root receipt.
+
+    `shrink_circuit` is the per-segment shrink circuit (stage R2) whose
+    program cap anchors the leaves.  Node circuits are recorded lazily per
+    (child-shapes, child-VKs) signature and cached for reuse across pairs
+    and trees."""
+
+    def __init__(self, shrink_circuit: ShrinkCircuit):
+        self.shrink_circuit = shrink_circuit
+        self._circuits: Dict[tuple, ShrinkCircuit] = {}
+
+    # -- leaves ---------------------------------------------------------------
+
+    def shrink(self, inner_proof: AllProof) -> AggItem:
+        proof = prove_shrink(self.shrink_circuit, inner_proof)
+        verify_shrink(self.shrink_circuit, proof)
+        return AggItem(proof, self.shrink_circuit.program_cap)
+
+    # -- nodes ----------------------------------------------------------------
+
+    def node_circuit(self, lhs: AggItem, rhs: AggItem) -> ShrinkCircuit:
+        key = (lhs.key(), rhs.key())
+        circuit = self._circuits.get(key)
+        if circuit is None:
+            circuit = build_aggregation_circuit(
+                self.shrink_circuit.starks, self.shrink_circuit.ctls,
+                self.shrink_circuit.config,
+                [lhs.proof, rhs.proof],
+                [lhs.program_cap, rhs.program_cap])
+            self._circuits[key] = circuit
+        return circuit
+
+    def aggregate_pair(self, lhs: AggItem, rhs: AggItem) -> AggItem:
+        circuit = self.node_circuit(lhs, rhs)
+        proof = prove_aggregation(circuit, [lhs.proof, rhs.proof])
+        verify_shrink(circuit, proof)
+        return AggItem(proof, circuit.program_cap)
+
+    def aggregate(self, items: Sequence[AggItem]) -> AggItem:
+        """Binary tree reduction; an odd item is carried up a level.  Every
+        pair at a level is an independent proof (dp-parallel)."""
+        level: List[AggItem] = list(items)
+        if not level:
+            raise ValueError("nothing to aggregate")
+        rung = 0
+        while len(level) > 1:
+            with timed("aggregation level", rung=rung, width=len(level)):
+                nxt = [self.aggregate_pair(level[i], level[i + 1])
+                       for i in range(0, len(level) - 1, 2)]
+                if len(level) % 2:
+                    nxt.append(level[-1])
+            level = nxt
+            rung += 1
+        return level[0]
+
+    # -- blocks ----------------------------------------------------------------
+    # The block node IS the aggregation node applied across blocks: the
+    # continuation equality lhs.roots_after == rhs.roots_before is exactly
+    # the block chain (fixed_recursive_verifier.rs:756-766).  The genesis
+    # base case has no parent, so the block receipt is the block's own
+    # aggregated proof (the reference inserts a cyclic dummy proof instead
+    # because its circuit shape demands two children).
+
+    def prove_block(self, parent: Optional[AggItem],
+                    block_agg: AggItem) -> AggItem:
+        if parent is None:
+            return block_agg
+        return self.aggregate_pair(parent, block_agg)

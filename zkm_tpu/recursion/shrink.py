@@ -52,7 +52,8 @@ from ..stark.verifier import verify_proof
 from ..tables import poseidon as poseidon_mod
 from ..utils.timing import timed
 from .dag import Dag, evaluate
-from .verifier_dag import VerifierDag, flatten_proof, record_verifier
+from .verifier_dag import (VerifierDag, flatten_proof, record_chain,
+                           record_verifier)
 
 P = gl.P
 NUM_CLAIM = 48   # 8 roots_before + 8 roots_after + 32 userdata bytes
@@ -345,7 +346,7 @@ class _Program:
     claim_wires: np.ndarray    # (48,)
 
 
-def build_program(dag: Dag) -> _Program:
+def build_program(dag: Dag, claim_wires=None) -> _Program:
     ops = []
     pose = []
     for e in dag.prog:
@@ -376,9 +377,10 @@ def build_program(dag: Dag) -> _Program:
         op_rows[r, NUM_OP_FLAGS + 2] = out
         op_rows[r, NUM_OP_FLAGS + 3] = cval
     pose_rows = np.asarray(pose, dtype=np.uint64).reshape(len(pose), 24)
+    if claim_wires is None:
+        claim_wires = dag.pub[:NUM_CLAIM]
     return _Program(op_rows=op_rows, pose_rows=pose_rows,
-                    claim_wires=np.asarray(dag.pub[:NUM_CLAIM],
-                                           dtype=np.uint64))
+                    claim_wires=np.asarray(claim_wires, dtype=np.uint64))
 
 
 def program_trace(prog: _Program) -> gl.Gf:
@@ -408,11 +410,13 @@ def generate_shrink_traces(dag: Dag, prog: _Program,
     has_r1 = (op[:, _READ1_FLAGS].sum(axis=1) > 0)
     has_w = (op[:, _WRITE_FLAGS].sum(axis=1) > 0)
 
-    # -- VM trace (row 0 = claim row) -----------------------------------------
+    # -- VM trace (row 0 = claim row; claim values come from the claim
+    # WIRES — for shrink DAGs those are pubs[:48], for aggregation DAGs the
+    # combined (lhs.roots_before, rhs.roots_after, userdata)) --------------
     vm = np.zeros((1 + n_ops, VM_COLUMNS), dtype=np.uint64)
     vm[0, F_CLAIM] = 1
     vm[0, CLAIM_START:CLAIM_START + NUM_CLAIM] = \
-        np.asarray(pub_values[:NUM_CLAIM], dtype=np.uint64)
+        vals[prog.claim_wires.astype(np.int64)]
     vm[1:, :NUM_OP_FLAGS] = op[:, :NUM_OP_FLAGS]
     vm[1:, IN0:CVAL + 1] = op[:, NUM_OP_FLAGS:NUM_OP_FLAGS + 4]
     vm[1:, V0] = np.where(has_r0, vals[i0], 0)
@@ -517,7 +521,38 @@ def build_shrink_circuit(inner_starks: Sequence, inner_ctls,
     with timed("record verifier dag"):
         vdag = record_verifier(inner_starks, inner_ctls, inner_config,
                                template, cap_pins=cap_pins)
-    prog = build_program(vdag.dag)
+    return _assemble_circuit(vdag, config)
+
+
+def build_aggregation_circuit(child_starks: Sequence, child_ctls,
+                              child_config: StarkConfig,
+                              templates: Sequence[AllProof],
+                              child_program_caps: Sequence[np.ndarray],
+                              config: Optional[StarkConfig] = None
+                              ) -> ShrinkCircuit:
+    """Stage R3: the binary aggregation node (reference analog
+    fixed_recursive_verifier.rs:613-695 `prove_aggregation`).
+
+    Records ONE DAG verifying every child proof (each a 5-table
+    shrink-system proof, its PROGRAM cap pinned to the matching
+    `child_program_caps[i]` — the verifying-key check is in-DAG, so a
+    forged child circuit fails witness replay), plus the continuation
+    links `lhs.roots_after == rhs.roots_before` and equal userdata
+    (`fixed_recursive_verifier.rs:636-641`).  The result is proved by the
+    SAME 5-table system, so aggregation nodes compose into trees: level
+    k+1 pins level k's program caps.  The combined claim is
+    (first.roots_before, last.roots_after, userdata)."""
+    config = config or child_config
+    with timed("record aggregation dag", children=len(templates)):
+        vdag = record_chain(
+            child_starks, child_ctls, child_config, templates,
+            [{PROGRAM: cap} for cap in child_program_caps])
+    return _assemble_circuit(vdag, config)
+
+
+def _assemble_circuit(vdag: VerifierDag, config: StarkConfig
+                      ) -> ShrinkCircuit:
+    prog = build_program(vdag.dag, vdag.claim_wires)
     starks = make_shrink_starks()
     ctls = make_shrink_ctls([int(w) for w in prog.claim_wires])
     from ..commit import polynomial_batch as pb
@@ -542,6 +577,29 @@ def prove_shrink(circuit: ShrinkCircuit, inner_proof: AllProof,
         return prove_with_traces(circuit.starks, circuit.config, traces,
                                  circuit.ctls, inner_proof.public_values,
                                  debug=debug)
+
+
+def prove_aggregation(circuit: ShrinkCircuit,
+                      children: Sequence[AllProof],
+                      debug: bool = False) -> AllProof:
+    """Aggregate a chain of child proofs (shapes = the circuit's templates)
+    into one fixed-shape proof claiming (first.roots_before,
+    last.roots_after, userdata).  Continuation violations and wrong child
+    verifying keys surface as ReplayFailure during witness generation."""
+    from ..stark.proof import PublicValues
+    pubs: List[int] = []
+    for child in children:
+        pubs.extend(flatten_proof(child))
+    merged = PublicValues(
+        roots_before=children[0].public_values.roots_before,
+        roots_after=children[-1].public_values.roots_after,
+        userdata=children[0].public_values.userdata)
+    with timed("aggregation witness", children=len(children)):
+        traces = generate_shrink_traces(circuit.vdag.dag, circuit.prog,
+                                        pubs)
+    with timed("aggregation prove"):
+        return prove_with_traces(circuit.starks, circuit.config, traces,
+                                 circuit.ctls, merged, debug=debug)
 
 
 def verify_shrink(circuit: ShrinkCircuit, proof: AllProof):

@@ -429,8 +429,10 @@ def _sym_verify_table(dag: Dag, alg: RecExtAlgebra, stark, wproof: WStarkProof,
 @dataclass
 class VerifierDag:
     dag: Dag
-    wproof: WAllProof                 # wire mirror (public-input layout)
+    wproof: WAllProof                 # wire mirror (public-input layout);
+    #                                   the LAST child for chain recordings
     num_public_inputs: int
+    claim_wires: List = None          # 48 wires: rb(8) + ra(8) + userdata(32)
 
 
 def record_verifier(starks: Sequence, ctls, config: StarkConfig,
@@ -445,6 +447,46 @@ def record_verifier(starks: Sequence, ctls, config: StarkConfig,
     dag = Dag()
     alg = RecExtAlgebra(dag)
     wp = reflect_proof(dag, template)
+    _record_one(dag, alg, starks, ctls, config, wp, cap_pins)
+    claim = wp.roots_before + wp.roots_after + wp.userdata
+    return VerifierDag(dag=dag, wproof=wp, num_public_inputs=len(dag.pub),
+                       claim_wires=claim)
+
+
+def record_chain(starks: Sequence, ctls, config: StarkConfig,
+                 templates: Sequence[AllProof],
+                 cap_pins_list: Sequence) -> VerifierDag:
+    """Record a DAG verifying a CHAIN of proofs of one table system
+    (stage R3, the aggregation node — reference analog
+    fixed_recursive_verifier.rs:613-695): each child proof is fully
+    verified (with its own Fiat-Shamir transcript and its verifying key
+    pinned via cap_pins_list[i]), consecutive claims are linked by the
+    continuation constraints `lhs.roots_after == rhs.roots_before` and
+    equal userdata, and the recorded claim is the COMBINED claim
+    (first.roots_before, last.roots_after, userdata).
+
+    Public-input layout = flatten_proof(child 0) ++ flatten_proof(child 1)
+    ++ ... in order."""
+    dag = Dag()
+    alg = RecExtAlgebra(dag)
+    wps = [reflect_proof(dag, t) for t in templates]
+    for wp, pins in zip(wps, cap_pins_list):
+        _record_one(dag, alg, starks, ctls, config, wp, pins)
+    for c, (a, b) in enumerate(zip(wps, wps[1:])):
+        for i in range(DIGEST * 2):
+            dag.assert_eq(a.roots_after[i], b.roots_before[i],
+                          f"chain {c}: roots_after != roots_before [{i}]")
+        for i in range(32):
+            dag.assert_eq(a.userdata[i], b.userdata[i],
+                          f"chain {c}: userdata mismatch [{i}]")
+    claim = wps[0].roots_before + wps[-1].roots_after + wps[0].userdata
+    return VerifierDag(dag=dag, wproof=wps[-1],
+                       num_public_inputs=len(dag.pub), claim_wires=claim)
+
+
+def _record_one(dag: Dag, alg: RecExtAlgebra, starks: Sequence, ctls,
+                config: StarkConfig, wp: WAllProof, cap_pins=None):
+    """Append the verification of one reflected AllProof to `dag`."""
     num_tables = len(starks)
 
     for t, rows in (cap_pins or {}).items():
@@ -503,5 +545,3 @@ def record_verifier(starks: Sequence, ctls, config: StarkConfig,
     for it in iters:
         for _ in it:
             raise ValueError("unconsumed ctl_zs_first opening")
-
-    return VerifierDag(dag=dag, wproof=wp, num_public_inputs=len(dag.pub))
