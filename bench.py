@@ -23,11 +23,33 @@ The LDE anchor is 4.8e9 butterflies/s (32-core rayon FFT estimate).
 
 import json
 import os
+import signal
 import sys
 import time
 
+from zkm_tpu.utils.cache import enable_persistent_cache
+
+# Without the persistent cache every bench run cold-compiles the whole
+# 12-table prover (~1 h); with it only the first run on a host pays.
+enable_persistent_cache()
+
 BASELINE_PROOFS_PER_MIN = 24.0
 BASELINE_BUTTERFLIES_PER_SEC = 4.8e9
+
+# Wall-clock budget for the prove-mode metric.  If first-compile costs
+# blow past it (fresh host, empty cache), fall back to the LDE metric so
+# the driver always gets a JSON line.  Compiles done before the alarm
+# fired are already persisted, so the *next* run completes the prove
+# metric warm.
+PROVE_BUDGET_S = int(os.environ.get("BENCH_PROVE_BUDGET_S", "1500"))
+
+
+class _BenchTimeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise _BenchTimeout(f"prove bench exceeded {PROVE_BUDGET_S}s budget")
 
 
 def bench_lde():
@@ -108,12 +130,16 @@ def bench_prove():
 def main():
     mode = os.environ.get("BENCH_MODE", "prove")
     if mode == "prove":
+        signal.signal(signal.SIGALRM, _alarm)
+        signal.alarm(PROVE_BUDGET_S)
         try:
             result = bench_prove()
-        except Exception as e:                      # noqa: BLE001
+        except BaseException as e:                  # noqa: BLE001
             print(f"prove bench failed ({e!r}); falling back to LDE",
                   file=sys.stderr)
             result = bench_lde()
+        finally:
+            signal.alarm(0)
     else:
         result = bench_lde()
     print(json.dumps(result))

@@ -30,36 +30,11 @@ jax.config.update("jax_platforms", "cpu")
 # smaller compiled graphs; see zkm_tpu/field/goldilocks.py).
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: compiled kernels survive across test runs.
-# The dir is partitioned by a host-CPU fingerprint: XLA:CPU AOT results are
-# machine-specific, and a cache populated on one box silently computes WRONG
-# values on another (observed: constraint accumulators nonzero only in the
-# cached-executable path; XLA logs "machine features mismatch ... could lead
-# to execution errors").  Rounds can migrate hosts, so never share entries.
-def _host_cache_dir(root="/root/repo/.jax_cache"):
-    import hashlib
-    import platform
-    tag = platform.machine()
-    try:
-        lines = []
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                # flags alone are not enough: XLA also bakes model-derived
-                # tuning prefs (prefer-no-scatter/gather) into AOT results.
-                if line.startswith(("flags", "model name", "vendor_id")):
-                    lines.append(line)
-                if len(lines) == 3:
-                    break
-        tag += hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
-    except OSError:
-        pass
-    return os.path.join(root, tag)
+# Persistent compilation cache: compiled kernels survive across test runs
+# (host-partitioned; see zkm_tpu/utils/cache.py for why).
+from zkm_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
-
-_cache_dir = _host_cache_dir()
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+enable_persistent_cache()
 
 import numpy as np
 import pytest

@@ -144,3 +144,45 @@ def test_syscall_io_streams():
             break
         ist.step()
     assert bytes(ist.state.public_values_stream) == bytes.fromhex("12345678")
+
+
+REF_BLOCK = "/root/reference/emulator/test-vectors/0_13284491/"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_BLOCK),
+                    reason="reference minigeth block data not available")
+def test_preimage_oracle_real_block_data():
+    """Preimage oracle (getpid=4020) against real minigeth block vectors.
+
+    Reference semantics (emulator/src/state.rs:468-512): guest puts the
+    keccak256 hash at 0x30001000; the oracle writes [len ‖ data] at
+    0x31000000 and patches a poseidon pad10*1 byte into the final partial
+    word.  Files in the block dir are named by the keccak256 of their
+    contents, which also cross-checks our keccak implementation.
+    """
+    from zkm_tpu.hash.keccak import keccak256
+
+    paths = sorted(glob.glob(os.path.join(REF_BLOCK, "0x*")))
+    assert paths, "no preimage files"
+    # pick a multi-word preimage with a partial final word if available
+    path = max(paths, key=lambda p: os.path.getsize(p) % 32 or -1)
+    data = open(path, "rb").read()
+    h = keccak256(data)
+    assert "0x" + h.hex() == os.path.basename(path)
+
+    state = State()
+    state.memory.set_memory_range(0x30001000, h)
+    ist = InstrumentedState(state, REF_BLOCK)
+    cycles_before = state.cycle
+    ist._load_preimage()
+
+    assert state.memory.get_memory(0x31000000) == len(data)
+    got = bytearray()
+    for i in range(0, (len(data) + 3) // 4 * 4, 4):
+        got += state.memory.get_memory(0x31000004 + i).to_bytes(4, "big")
+    assert bytes(got[:len(data)]) == data
+    # pad10*1 byte right after the data in its final partial word
+    rem = len(data) & 3
+    if rem:
+        assert got[len(data)] == 1
+    assert state.cycle - cycles_before == (len(data) + 35) // 32
