@@ -134,7 +134,11 @@ def main():
         signal.alarm(PROVE_BUDGET_S)
         try:
             result = bench_prove()
-        except BaseException as e:                  # noqa: BLE001
+        except Exception as e:
+            # Disarm immediately: the LDE fallback below can outlive the
+            # original budget, and a late SIGALRM would kill the run with
+            # no JSON line at all.
+            signal.alarm(0)
             print(f"prove bench failed ({e!r}); falling back to LDE",
                   file=sys.stderr)
             result = bench_lde()

@@ -27,6 +27,23 @@ def test_merkle_roundtrip(rng):
     assert not verify_merkle_proof(bad, 13, tree.open(13), tree.cap)
 
 
+def test_open_batch_cap_sized_tree(rng):
+    """Regression (round-2 P0): a tree with exactly 2^cap_height leaves has
+    empty Merkle paths; open_batch crashed on jnp.stack([]).  Every
+    min-height table (2^6 rows) hits this in its FRI commit phase under
+    standard_fast_config (cap_height=4), so prove_segment under the
+    production config was broken (BENCH_r02 crash)."""
+    leaves = gl.from_u64(rng.integers(0, P, size=(16, 7), dtype=np.uint64))
+    tree = build_merkle_tree(leaves, cap_height=4)
+    paths = tree.open_batch([0, 5, 15])
+    assert paths == [[], [], []]
+    for idx in (0, 5, 15):
+        assert verify_merkle_proof(gl.getitem(leaves, idx), idx, [],
+                                   tree.cap)
+    bad = gl.from_u64(np.arange(7, dtype=np.uint64))
+    assert not verify_merkle_proof(bad, 5, [], tree.cap)
+
+
 def test_polynomial_batch_leaf_consistency(rng):
     values = rng.integers(0, P, size=(3, 32), dtype=np.uint64)
     batch = pb.from_values(gl.from_u64(values), rate_bits=2, cap_height=2)

@@ -54,6 +54,11 @@ class MerkleTree:
         `open` calls were hundreds of tiny device->host round-trips, and
         per-level dispatch still paid ~60 kernel compiles on a remote-TPU
         backend).  Returns [per index: [sibling u64 (4,) ...]]."""
+        if len(self.levels) == 1:
+            # Cap-sized tree (exactly 2^cap_height leaves): the leaf digests
+            # ARE the cap, so every path is empty.  Hit by min-height tables
+            # (2^6 rows) in the FRI commit phase under standard_fast_config.
+            return [[] for _ in indices]
         idx = np.array(indices, dtype=np.int64)
         stacked = _open_batch_core(tuple(self.levels[:-1]), idx)
         arr = gl.to_u64(stacked)                    # (L, Q, 4), one transfer

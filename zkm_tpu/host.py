@@ -99,8 +99,13 @@ def prove_segment(seg: Segment, config: Optional[StarkConfig] = None,
                   all_stark: Optional[AllStark] = None,
                   debug: bool = False,
                   block_path: str = "", assumptions=(),
-                  assumption_usage: Optional[list] = None) -> SegmentReceipt:
-    """Re-execute a segment and prove the implemented tables over it."""
+                  assumption_usage: Optional[list] = None,
+                  mesh=None) -> SegmentReceipt:
+    """Re-execute a segment and prove the implemented tables over it.
+
+    mesh: optional 1-d "tp" Mesh — shards the proving kernels over it
+    (prove_with_traces); dp = independent segments on disjoint
+    submeshes."""
     config = config or StarkConfig.standard_fast_config()
     all_stark = all_stark or make_all_stark()
     with timed("prove_segment", segment=seg.segment_id):
@@ -111,7 +116,8 @@ def prove_segment(seg: Segment, config: Optional[StarkConfig] = None,
             f"{tab.name}={tr[0].shape[-1]}"
             for tab, tr in zip(all_stark.tables, traces)))
         proof = prove_with_traces(all_stark.starks, config, traces,
-                                  all_stark.ctls, pv, debug=debug)
+                                  all_stark.ctls, pv, debug=debug,
+                                  mesh=mesh)
     return SegmentReceipt(proof=proof, pre_image_id=seg.pre_image_id,
                           image_id=seg.image_id, userdata=pv.userdata)
 

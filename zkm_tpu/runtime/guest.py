@@ -50,6 +50,10 @@ def hint_len(a: Asm):
 def hint_read(a: Asm, addr_reg: str = "a0", len_reg: str = "a1"):
     """Read the next input vector to [addr_reg] (word-aligned buffer;
     length in len_reg).  io::read_vec's syscall_hint_read."""
+    if addr_reg != "a0":
+        a.move("a0", addr_reg)
+    if len_reg != "a1":
+        a.move("a1", len_reg)
     a.li("v0", SYS_HINT_READ)
     a.syscall()
 

@@ -31,7 +31,7 @@ from ..tables import sha_compress as shac_mod
 from ..tables import sha_compress_sponge as shacs_mod
 from ..tables import sha_extend as shae_mod
 from ..tables import sha_extend_sponge as shaes_mod
-from ..tables.cpu import CpuStark
+from ..tables.cpu import CpuStark, CpuStarkImageBound
 from ..tables.cpu import ctl as cpu_ctl
 from .cross_table_lookup import CrossTableLookup, TableWithColumns
 
@@ -324,7 +324,12 @@ def make_all_stark(subset: Optional[Sequence[Table]] = None,
     without the CPU table — standalone table bring-up/testing."""
     subset = list(subset) if subset is not None else list(DEFAULT_SUBSET)
     assert all(t in IMPLEMENTED for t in subset), "unimplemented table"
-    starks = [IMPLEMENTED[t]() for t in subset]
+    # with the sponge chain present, the CPU table binds
+    # PublicValues.roots_before/after by constraint (16 public inputs)
+    impl = dict(IMPLEMENTED)
+    if Table.PoseidonSponge in subset and Table.Cpu in subset:
+        impl[Table.Cpu] = CpuStarkImageBound
+    starks = [impl[t]() for t in subset]
     loc = {t: i for i, t in enumerate(subset)}
 
     ctls: List[CrossTableLookup] = []

@@ -69,8 +69,14 @@ class StarkProof:
     opening_proof: FriProof
 
     def recover_degree_bits(self, config) -> int:
-        """From the FRI query structure (reference proof.rs does the same)."""
-        raise NotImplementedError
+        """From the FRI query structure (reference proof.rs:31-40): the
+        trace-oracle Merkle path length + cap height gives log2(LDE size);
+        subtract rate_bits for the trace degree."""
+        fri = config.fri_config
+        q0 = self.opening_proof.query_round_proofs[0]
+        path = q0.initial_trees_proof.merkle_proofs[0]
+        lde_bits = len(path) + fri.cap_height
+        return lde_bits - fri.rate_bits
 
 
 @dataclass

@@ -359,8 +359,23 @@ def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
 def prove_with_traces(starks: Sequence, config: StarkConfig,
                       traces: List[gl.Gf], ctls,
                       public_values: PublicValues,
-                      debug: bool = False) -> AllProof:
-    """traces[t]: (C_t, N_t) per-table trace values."""
+                      debug: bool = False, mesh=None) -> AllProof:
+    """traces[t]: (C_t, N_t) per-table trace values.
+
+    mesh: optional 1-d jax.sharding.Mesh with axis "tp".  Trace rows (the
+    power-of-two N axis, always tp-divisible) are sharded over it; GSPMD
+    propagates the sharding through the whole production pipeline — commit
+    iNTT/LDE (butterfly exchanges become collectives), Merkle leaf hashing
+    (pointwise over the sharded rows), quotient eval over the coset, and
+    the real FRI fold with its 1/x term.  The math is exact integer field
+    ops, so the proof is bit-identical to the single-device one (SURVEY
+    §2.7 mapping; tested in tests/test_multichip.py and the driver
+    dryrun).  Segment-level dp = independent proofs on disjoint
+    submeshes."""
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        sh = NamedSharding(mesh, _P(None, "tp"))
+        traces = [tuple(jax.device_put(c, sh) for c in t) for t in traces]
     rate_bits = config.fri_config.rate_bits
     cap_height = config.fri_config.cap_height
 

@@ -309,11 +309,6 @@ def generate_rows(ops: Sequence[Op],
     return rows.T.copy()
 
 
-def _gen_div_family_rows(rows, r, op):
-    """DIV/DIVU and SRL/SRA families: two-row ops (milestone 3)."""
-    raise NotImplementedError(f"div/right-shift rows pending (flag {op.flag})")
-
-
 def ctl_filter() -> Filter:
     """Any arithmetic op row (sum of all flags)."""
     return Filter.new_simple(Column.sum_cols(range(26)))

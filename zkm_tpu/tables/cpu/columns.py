@@ -1,7 +1,9 @@
 """CPU table column layout.
 
 Reference: /root/reference/prover/src/cpu/columns/{mod.rs,ops.rs,general.rs}.
-The layout mirrors `CpuColumnsView` field for field (NUM_CPU_COLUMNS = 259):
+The layout mirrors `CpuColumnsView` field for field (reference
+NUM_CPU_COLUMNS = 259; ours is 260 — we add AFTER_IMAGE_ID for the
+constraint-level PublicValues binding the reference lacks):
 system registers, 33 op flags (`OpsColumnsView`), the branch view, the six
 instruction bit-decompositions, four sponge filters, the 102-column `general`
 union (syscall/logic/shift/io/hash/khash/shash/element/misc views), the memio
@@ -137,5 +139,14 @@ class MemChannel:
 
 MEM_CHANNELS = [MemChannel(i) for i in range(NUM_GP_CHANNELS)]
 
-NUM_CPU_COLUMNS = MEM_CH_START + NUM_GP_CHANNELS * MEM_CH_COLS   # 259
-assert NUM_CPU_COLUMNS == 259
+# Monotone 0->1 flag: 1 on every row strictly after the exit kernel's
+# post-image-id sponge row.  Its single 0->1 flip designates THE image-id
+# sponge row, whose digest columns are bound to PublicValues.roots_after by
+# boundary constraints (constraints.py eval_image_id_binding) — the
+# constraint-level replacement for the reference's witness-side assert_eq
+# (bootstrap_kernel.rs:166-174).  Zero (unconstrained) in subsets without
+# the Poseidon sponge chain.
+AFTER_IMAGE_ID = MEM_CH_START + NUM_GP_CHANNELS * MEM_CH_COLS    # 259
+
+NUM_CPU_COLUMNS = AFTER_IMAGE_ID + 1                             # 260
+assert NUM_CPU_COLUMNS == 260

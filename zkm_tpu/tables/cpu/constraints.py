@@ -95,6 +95,80 @@ def eval_bootstrap(a, lv, nv, consumer):
 
 
 # ---------------------------------------------------------------------------
+# PublicValues binding (strengthens bootstrap_kernel.rs:166-174 /
+# exit_kernel.rs, where check_image_id is a witness-side assert_eq!).
+# ---------------------------------------------------------------------------
+
+# The image-id sponge hashes 9 words at ROOT_HASH_ADDRESS_BASE; its CPU row
+# carries (ctx=0, seg=Code=0, virt of the final rate block, len=36) in
+# channel values 0..3 and the digest in HASH_VALUE (witness/sponge.py
+# _sponge_cpu_row; the poseidon-sponge CTL binds all six to a real sponge
+# op over that memory).
+IMAGE_ID_LEN = 36
+IMAGE_ID_FINAL_BLOCK_VIRT = 0x8102_1000 + 32
+
+
+def eval_image_id_binding(a, lv, nv, consumer, publics):
+    """Bind PublicValues.roots_before/after into the trace.
+
+    publics = 16 scalars: roots_before (8 u32 words) ++ roots_after (8).
+    The digest columns are 4 u64 limbs: limb_i = word_{2i} + 2^32 w_{2i+1}.
+
+    Pre side: the bootstrap flag is 1 on row 0 and monotonically falls
+    (eval_bootstrap), so `boot - boot'` is 1 on exactly one row — forced
+    here to be the pre-image-id sponge row with digest == roots_before.
+
+    Post side: AFTER_IMAGE_ID is boolean, 0 on row 0, monotone, 1 on the
+    last row, so it flips exactly once; the flip origin is forced to be
+    the post-image-id sponge row with digest == roots_after, and no
+    poseidon-sponge row may follow it (a later forged sponge row cannot
+    re-claim the binding).
+    """
+    one = a.one
+    shift32 = a.constant(1 << 32)
+
+    def limb(words, i):
+        return a.add(words[2 * i], a.mul(shift32, words[2 * i + 1]))
+
+    def pin_image_id_row(sel, words):
+        consumer.constraint_transition(
+            a.mul(sel, a.sub(lv[cc.IS_POSEIDON_SPONGE], one)))
+        consumer.constraint_transition(
+            a.mul(sel, lv[cc.MEM_CHANNELS[0].value]))          # ctx = 0
+        consumer.constraint_transition(
+            a.mul(sel, lv[cc.MEM_CHANNELS[1].value]))          # seg = Code
+        consumer.constraint_transition(a.mul(sel, a.sub(
+            lv[cc.MEM_CHANNELS[2].value],
+            a.constant(IMAGE_ID_FINAL_BLOCK_VIRT))))
+        consumer.constraint_transition(a.mul(sel, a.sub(
+            lv[cc.MEM_CHANNELS[3].value], a.constant(IMAGE_ID_LEN))))
+        for i, c in enumerate(cc.HASH_VALUE):
+            consumer.constraint_transition(
+                a.mul(sel, a.sub(lv[c], limb(words, i))))
+
+    rb, ra = publics[:8], publics[8:]
+
+    # pre: the single bootstrap 1->0 transition row
+    boot_end = a.sub(lv[cc.IS_BOOTSTRAP_KERNEL], nv[cc.IS_BOOTSTRAP_KERNEL])
+    pin_image_id_row(boot_end, rb)
+
+    # post: AFTER_IMAGE_ID discipline
+    after = lv[cc.AFTER_IMAGE_ID]
+    nafter = nv[cc.AFTER_IMAGE_ID]
+    consumer.constraint(a.mul(after, a.sub(after, one)))       # boolean
+    consumer.constraint_first_row(after)
+    consumer.constraint_last_row(a.sub(after, one))
+    consumer.constraint_transition(a.mul(after, a.sub(after, nafter)))
+    # no sponge rows strictly after the flip origin
+    consumer.constraint(a.mul(after, lv[cc.IS_POSEIDON_SPONGE]))
+
+    flip = a.sub(nafter, after)
+    consumer.constraint_transition(
+        a.mul(flip, a.sub(lv[cc.IS_EXIT_KERNEL], one)))
+    pin_image_id_row(flip, ra)
+
+
+# ---------------------------------------------------------------------------
 # decode.rs (+ hardening)
 # ---------------------------------------------------------------------------
 

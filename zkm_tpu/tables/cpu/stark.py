@@ -36,3 +36,26 @@ class CpuStark(Stark):
         cons.eval_syscall(a, lv, consumer)
         cons.eval_bits(a, lv, consumer)
         cons.eval_misc(a, lv, consumer)
+
+
+class CpuStarkImageBound(CpuStark):
+    """CpuStark + constraint-level PublicValues binding.
+
+    Used whenever the Poseidon sponge chain is in the proving subset (the
+    bootstrap/exit kernels then emit the image-id sponge rows this binding
+    designates).  16 public inputs: roots_before ++ roots_after as u32
+    words — the exact PublicValues layout the challenger observes
+    (prover.rs observe_public_values).  An otherwise-valid proof whose
+    claimed roots differ from the witnessed image ids fails the quotient
+    identity; the reference only asserts this witness-side
+    (bootstrap_kernel.rs:166-174)."""
+
+    num_public_inputs = 16
+
+    def public_inputs(self, roots_before, roots_after, userdata) -> list:
+        return list(roots_before) + list(roots_after)
+
+    def eval_generic(self, a, lv, nv, consumer, publics=None):
+        assert publics is not None and len(publics) == 16
+        super().eval_generic(a, lv, nv, consumer)
+        cons.eval_image_id_binding(a, lv, nv, consumer, publics)

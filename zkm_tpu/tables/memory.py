@@ -86,7 +86,11 @@ def _fill_gaps(ops: List[MemoryOp]) -> List[MemoryOp]:
                                     curr.value)
                     out.append(curr)
         if len(out) <= (1 << n_bits):
-            return out
+            # the table height MUST be the 2^n_bits the fill converged on:
+            # a sparser fill (larger max_rc) can leave fewer ops than the
+            # next power of two below 2^n_bits, and rc deltas sized for
+            # 2^n_bits would overflow that smaller height's range check
+            return out, n_bits
         n_bits += 1
 
 
@@ -112,13 +116,13 @@ def generate_rows(ops: List[MemoryOp], min_rows: int = 64) -> np.ndarray:
     assert ops, "no memory ops"
     ops = [_coerce_r0(op) for op in ops]
     ops = sorted(ops, key=MemoryOp.sorting_key)
-    ops = _fill_gaps(ops)
+    ops, fill_bits = _fill_gaps(ops)
     ops.sort(key=MemoryOp.sorting_key)
     # padding: repeat last op as filtered-out read
     last = ops[-1]
     pad_op = MemoryOp(False, last.timestamp, True, last.context, last.segment,
                       last.virt, last.value)
-    n = max(len(ops), min_rows, 2)
+    n = max(len(ops), 1 << fill_bits, min_rows, 2)
     n = 1 << (n - 1).bit_length()
     ops = ops + [pad_op] * (n - len(ops))
 

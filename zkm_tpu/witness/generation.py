@@ -1304,6 +1304,11 @@ def generate_segment_traces(seg: Segment, block_path: str = "",
     pad[cc.PROGRAM_COUNTER] = s.pc
     pad[cc.NEXT_PROGRAM_COUNTER] = s.next_pc
     pad[cc.IS_EXIT_KERNEL] = 1
+    if sponge:
+        # every pad row is strictly after the post-image-id sponge row
+        # (always >= 1 pad row: n is at least len(rows)+1), flipping
+        # AFTER_IMAGE_ID exactly once for the PublicValues binding
+        pad[cc.AFTER_IMAGE_ID] = 1
     while len(s.rows) < n:
         row = pad.copy()
         row[cc.CLOCK] = len(s.rows)
