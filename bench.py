@@ -4,10 +4,12 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Primary metric (BENCH_MODE=prove, default): wall-clock of a full
-`prove_segment` — witness generation -> 4-table trace build -> commit ->
-CTL data -> per-table quotient/FRI — under the production
-standard_fast_config, after one warm-up proof (compiles amortize across
-segments in production).  Reported as segment proofs per minute.
+`prove_segment` on the production default subset (SPONGE_SUBSET: 6 tables
+incl. the Poseidon page-hash chain binding the image ids in-proof) —
+witness generation -> trace build -> commit -> CTL data -> per-table
+quotient/FRI — under the production standard_fast_config, after one
+warm-up proof (compiles amortize across segments in production).
+Reported as segment proofs per minute.
 
 Fallback metric (BENCH_MODE=lde, or if the prove path fails): the LDE
 microbench of round 1 (butterflies/s on the polynomial-commitment hot

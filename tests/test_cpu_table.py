@@ -10,7 +10,7 @@ import pytest
 
 from zkm_tpu.emulator.state import InstrumentedState, State
 from zkm_tpu.emulator.utils import split_prog_into_segs
-from zkm_tpu.stark.all_stark import Table, make_all_stark
+from zkm_tpu.stark.all_stark import DEFAULT_SUBSET, Table, make_all_stark
 from zkm_tpu.stark.constraint_debug import check_stark_constraints
 from zkm_tpu.stark.ctl_debug import check_ctls
 from zkm_tpu.tables import arithmetic as arith
@@ -93,7 +93,7 @@ def _table_traces(t, all_stark):
 
 def test_ctl_multisets(witness):
     _, _, t = witness
-    a = make_all_stark()
+    a = make_all_stark(DEFAULT_SUBSET)
     check_ctls(_table_traces(t, a), a.ctls,
                names=["arithmetic", "logic", "memory"])
 
@@ -127,7 +127,7 @@ def test_cpu_tamper_detected(witness, name, col, delta):
 
 def test_ctl_tamper_detected(witness):
     _, _, t = witness
-    a = make_all_stark()
+    a = make_all_stark(DEFAULT_SUBSET)
     names = ["arithmetic", "logic", "memory"]
     # fake an execution result: CPU says the ADD produced something else
     tr = _table_traces(t, a)

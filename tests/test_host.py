@@ -22,13 +22,17 @@ def _program():
 
 
 def test_prove_program_segments():
+    # explicit 4-table subset: the fast default-suite e2e prove (the
+    # production default is SPONGE_SUBSET, covered by test_public_values)
+    from zkm_tpu.stark.all_stark import DEFAULT_SUBSET, make_all_stark
     state = State()
     state.memory.set_memory_range(0, _program())
     total, segs, _ = split_prog_into_segs(state, None, "", seg_size=1 << 20)
     assert len(segs) >= 1
     config = StarkConfig.test_config()
-    receipts = [prove_segment(s, config) for s in segs]
+    all_stark = make_all_stark(DEFAULT_SUBSET)
+    receipts = [prove_segment(s, config, all_stark) for s in segs]
     check_receipt_chain(receipts)
     for r in receipts:
-        verify_segment_receipt(r, config)
+        verify_segment_receipt(r, config, all_stark)
     assert receipts[0].pre_image_id != receipts[-1].image_id

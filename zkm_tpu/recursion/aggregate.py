@@ -49,9 +49,11 @@ class AggregationTree:
     (child-shapes, child-VKs) signature and cached for reuse across pairs
     and trees."""
 
-    def __init__(self, shrink_circuit: ShrinkCircuit):
+    def __init__(self, shrink_circuit: ShrinkCircuit,
+                 disk_cache: bool = True):
         self.shrink_circuit = shrink_circuit
         self._circuits: Dict[tuple, ShrinkCircuit] = {}
+        self._disk_cache = disk_cache
 
     # -- leaves ---------------------------------------------------------------
 
@@ -66,13 +68,47 @@ class AggregationTree:
         key = (lhs.key(), rhs.key())
         circuit = self._circuits.get(key)
         if circuit is None:
-            circuit = build_aggregation_circuit(
-                self.shrink_circuit.starks, self.shrink_circuit.ctls,
-                self.shrink_circuit.config,
-                [lhs.proof, rhs.proof],
-                [lhs.program_cap, rhs.program_cap])
+            circuit = self._node_circuit_disk(key, lhs, rhs) \
+                if self._disk_cache else None
+            if circuit is None:
+                circuit = build_aggregation_circuit(
+                    self.shrink_circuit.starks, self.shrink_circuit.ctls,
+                    self.shrink_circuit.config,
+                    [lhs.proof, rhs.proof],
+                    [lhs.program_cap, rhs.program_cap])
+                if self._disk_cache:
+                    self._node_circuit_save(key, circuit)
             self._circuits[key] = circuit
         return circuit
+
+    def _node_path(self, key: tuple) -> str:
+        import hashlib
+        import os
+
+        from .cache import CACHE_DIR
+        h = hashlib.sha256(repr(key).encode()).hexdigest()[:32]
+        return os.path.join(CACHE_DIR, f"aggnode_{h}.pkl")
+
+    def _node_circuit_disk(self, key, lhs, rhs):
+        """Load a node circuit recorded by a previous process (the
+        reference serializes all recursion circuits,
+        fixed_recursive_verifier.rs:313-373)."""
+        import os
+
+        from .cache import load_circuit
+        path = self._node_path(key)
+        if not os.path.exists(path):
+            return None
+        try:
+            with timed("load aggregation circuit"):
+                return load_circuit(path)
+        except Exception:
+            return None
+
+    def _node_circuit_save(self, key, circuit):
+        from .cache import save_circuit
+        with timed("save aggregation circuit"):
+            save_circuit(circuit, self._node_path(key))
 
     def aggregate_pair(self, lhs: AggItem, rhs: AggItem) -> AggItem:
         circuit = self.node_circuit(lhs, rhs)

@@ -248,11 +248,27 @@ def _hint_inverse(vals: List[int]) -> List[int]:
     return [gl.host_inv(vals[0])]
 
 
-def _make_hint_bits(nbits: int):
-    def fn(vals: List[int]) -> List[int]:
+class _HintBits:
+    """Bit-decomposition hint; a picklable class (not a closure) so
+    recorded DAGs serialize to the circuit cache (recursion/cache.py)."""
+    __slots__ = ("nbits",)
+
+    def __init__(self, nbits: int):
+        self.nbits = nbits
+
+    def __call__(self, vals: List[int]) -> List[int]:
         x = vals[0]
-        return [(x >> k) & 1 for k in range(nbits)]
-    return fn
+        return [(x >> k) & 1 for k in range(self.nbits)]
+
+    def __eq__(self, other):
+        return type(other) is _HintBits and other.nbits == self.nbits
+
+    def __hash__(self):
+        return hash(("_HintBits", self.nbits))
+
+
+def _make_hint_bits(nbits: int):
+    return _HintBits(nbits)
 
 
 class ReplayFailure(ValueError):

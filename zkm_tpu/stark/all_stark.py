@@ -71,8 +71,8 @@ IMPLEMENTED: Dict[Table, object] = {
     Table.Memory: memory_mod.MemoryStark,
 }
 
-# Default proving subset (host SDK): the tables the witness generator
-# currently populates end-to-end.
+# Minimal CPU-execution subset (no hash syscalls, no page-hash binding):
+# bring-up/testing and hash-free guests.
 DEFAULT_SUBSET = (Table.Arithmetic, Table.Cpu, Table.Logic, Table.Memory)
 
 # Subset with the Poseidon sponge chain: the bootstrap/exit kernels hash
@@ -317,12 +317,14 @@ def _ctl_sha_compress_outputs(loc) -> CrossTableLookup:
 
 def make_all_stark(subset: Optional[Sequence[Table]] = None,
                    self_ctls: bool = False) -> AllStark:
-    """Build the system over `subset` (default: DEFAULT_SUBSET).
+    """Build the system over `subset` (default: SPONGE_SUBSET — the
+    production default: receipts' image ids are backed by in-proof
+    page hashing + the constraint-level PublicValues binding).
 
     With the CPU table present, the real CTL topology is used.  The legacy
     `self_ctls` mode (a self-loop per table) remains only for subsets
     without the CPU table — standalone table bring-up/testing."""
-    subset = list(subset) if subset is not None else list(DEFAULT_SUBSET)
+    subset = list(subset) if subset is not None else list(SPONGE_SUBSET)
     assert all(t in IMPLEMENTED for t in subset), "unimplemented table"
     # with the sponge chain present, the CPU table binds
     # PublicValues.roots_before/after by constraint (16 public inputs)

@@ -79,9 +79,10 @@ def verify_stark_proof_with_challenges(stark, proof_meta, config,
         lookup_vars = (aux_local[:num_lookup_columns],
                        aux_next[:num_lookup_columns], lookup_challenges)
 
-    # publics arrive as raw u32 ints; lift into the extension algebra
+    # publics stay raw (ints here; wires in the DAG recorder; Gf scalars on
+    # device) — eval_generic lifts them with a.from_base per use
     eval_vanishing_poly(a, stark, local, nxt, lookup_vars, ctl_vars, consumer,
-                        [a.from_base(int(p)) for p in publics])
+                        publics)
 
     # quotient identity: acc_i == Z_H(zeta) * (q_{i,0} + zeta^n q_{i,1})
     factor = stark.quotient_degree_factor

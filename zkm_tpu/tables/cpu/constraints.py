@@ -128,7 +128,10 @@ def eval_image_id_binding(a, lv, nv, consumer, publics):
     shift32 = a.constant(1 << 32)
 
     def limb(words, i):
-        return a.add(words[2 * i], a.mul(shift32, words[2 * i + 1]))
+        # publics arrive raw (ints / wires / traced scalars); lift per the
+        # eval_generic convention (recursion/shrink.py VerifierVmStark)
+        return a.add(a.from_base(words[2 * i]),
+                     a.mul(shift32, a.from_base(words[2 * i + 1])))
 
     def pin_image_id_row(sel, words):
         consumer.constraint_transition(
