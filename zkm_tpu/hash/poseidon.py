@@ -118,8 +118,10 @@ def permute(state: gl.Gf) -> gl.Gf:
     of math.  Batches below the chunk take the XLA scan path (fast to
     compile, adequate at small sizes).
     """
+    from ..utils import hostjit
     lo = state[0]
-    if lo.ndim == 2 and jax.default_backend() == "tpu":
+    if lo.ndim == 2 and not hostjit.ON_HOST.get() \
+            and jax.default_backend() == "tpu":
         # small batches pad up to one chunk: the wasted permutes cost ~1ms,
         # while the XLA scan path costs ~166s of TPU compile per shape
         from ..ops import pallas_poseidon
@@ -263,13 +265,17 @@ def absorb_rate_blocks(blocks: jnp.ndarray) -> gl.Gf:
     return gl.getitem(state, (Ellipsis, slice(0, DIGEST)))
 
 
-_absorb_jit = jax.jit(absorb_rate_blocks)
+# Host-side byte sponges (page hashing, witness image ids) are
+# latency-bound; pin them to the CPU backend (see utils/hostjit.py).
+from ..utils.hostjit import host_jit
+
+_absorb_jit = host_jit(absorb_rate_blocks)
 
 
 def poseidon_bytes(data: bytes) -> np.ndarray:
     """Host convenience: full byte sponge -> 4 uint64 digest words."""
     blocks = bytes_to_rate_blocks(data)
-    return gl.to_u64(_absorb_jit(jnp.asarray(blocks)))
+    return gl.to_u64(_absorb_jit(blocks))
 
 
 # ---------------------------------------------------------------------------
@@ -348,4 +354,4 @@ def hash_pages(pages_u32: np.ndarray) -> np.ndarray:
     pad_block[:, 0, 0] = 1
     pad_block[:, 0, 7] = 0x80 << 24  # last byte of the 32-byte block (LE)
     blocks = np.concatenate([blocks, pad_block], axis=1)
-    return gl.to_u64(_absorb_jit(jnp.asarray(blocks)))
+    return gl.to_u64(_absorb_jit(blocks))

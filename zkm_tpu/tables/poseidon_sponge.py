@@ -33,6 +33,7 @@ from ..hash import poseidon as ps
 from ..stark.columns import Column, Filter
 from ..stark.lookup import Lookup
 from ..stark.stark import Stark
+from ..utils.hostjit import host_jit
 
 SPONGE_RATE = ps.SPONGE_RATE          # 8 words
 SPONGE_CAPACITY = ps.SPONGE_WIDTH - ps.SPONGE_RATE   # 4
@@ -151,31 +152,36 @@ def _sponge_states(ops, blocks_per_op):
     return out
 
 
-def _chain_states(blocks: np.ndarray):
-    """(k, nb, 8) u32 -> (pre, post) (k, nb, 12) u64 permutation states.
-
-    Runs as a batched scan on the test/host platform (one permute per block
-    index, batched over all same-length ops — e.g. all pages of a segment
-    permute together)."""
+def _chain_impl(blocks_t):
     import jax
     import jax.numpy as jnp
 
-    k = blocks.shape[0]
+    blocks_t = jnp.asarray(blocks_t, dtype=jnp.uint32)
+    k = blocks_t.shape[1]
+    state = gl.zeros((k, SPONGE_WIDTH))
 
-    def chain(blocks_t):
-        state = gl.zeros((k, SPONGE_WIDTH))
+    def step(state, block):
+        st = (state[0].at[..., :SPONGE_RATE].set(block),
+              state[1].at[..., :SPONGE_RATE].set(jnp.zeros_like(block)))
+        post = ps.permute(st)
+        return post, (state[0], state[1], post[0], post[1])
 
-        def step(state, block):
-            st = (state[0].at[..., :SPONGE_RATE].set(block),
-                  state[1].at[..., :SPONGE_RATE].set(jnp.zeros_like(block)))
-            post = ps.permute(st)
-            return post, (state[0], state[1], post[0], post[1])
+    _, ys = jax.lax.scan(step, state, blocks_t)
+    return ys
 
-        _, ys = jax.lax.scan(step, state, blocks_t)
-        return ys
 
-    blocks_t = jnp.asarray(np.moveaxis(blocks, 1, 0))    # (nb, k, 8)
-    pre_lo, pre_hi, post_lo, post_hi = jax.jit(chain)(blocks_t)
+_chain_jit = host_jit(_chain_impl)
+
+
+def _chain_states(blocks: np.ndarray):
+    """(k, nb, 8) u32 -> (pre, post) (k, nb, 12) u64 permutation states.
+
+    Runs as a batched scan on the host CPU backend (one permute per block
+    index, batched over all same-length ops — e.g. all pages of a segment
+    permute together).  Pinned off the default device: per-shape tunnel
+    compiles made this the dominant trace-build cost on remote TPU."""
+    blocks_t = np.ascontiguousarray(np.moveaxis(blocks, 1, 0))  # (nb, k, 8)
+    pre_lo, pre_hi, post_lo, post_hi = _chain_jit(blocks_t)
     pre = gl.to_u64((np.asarray(pre_lo), np.asarray(pre_hi)))
     post = gl.to_u64((np.asarray(post_lo), np.asarray(post_hi)))
     return np.moveaxis(pre, 0, 1), np.moveaxis(post, 0, 1)
