@@ -1,26 +1,34 @@
 """Benchmark: end-to-end segment proving on one chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "platform": ..., "device": ...}
 
-Primary metric (BENCH_MODE=prove, default): wall-clock of a full
-`prove_segment` on the production default subset (SPONGE_SUBSET: 6 tables
-incl. the Poseidon page-hash chain binding the image ids in-proof) —
-witness generation -> trace build -> commit -> CTL data -> per-table
-quotient/FRI — under the production standard_fast_config, after one
-warm-up proof (compiles amortize across segments in production).
-Reported as segment proofs per minute.
+Primary metric (BENCH_MODE=prove, default, requires a TPU): wall-clock of
+a full `prove_segment` on the production default subset (SPONGE_SUBSET: 6
+tables incl. the Poseidon page-hash chain binding the image ids in-proof)
+under the production standard_fast_config, after one warm-up proof
+(compiles amortize across segments in production; they also persist to
+.jax_cache, so even a budget-aborted warm-up makes the NEXT run warmer).
+Reported as segment proofs per minute.  The pipeline being timed is the
+analog of reference prover/src/prover.rs:130-232 (trace commit -> CTL data
+-> per-table aux/quotient/FRI) plus witness generation.
 
-Fallback metric (BENCH_MODE=lde, or if the prove path fails): the LDE
-microbench of round 1 (butterflies/s on the polynomial-commitment hot
-kernel).
+Fallback metric (BENCH_MODE=lde, no-TPU, or prove over budget): LDE
+throughput on the polynomial-commitment hot kernel, with dispatches queued
+in a batch so tunnel/dispatch latency does not masquerade as low
+throughput (round-3 failure mode: 1.8e9 "butterflies/s" that was really
+~20 ms/dispatch of axon-tunnel latency).
 
-vs_baseline: the reference publishes no numbers (BASELINE.md) and no Rust
-toolchain exists in this image.  The prove anchor is an estimated
-reference single-host figure for the same tiny segment: plonky2 CPU
-prover ~2.5 s/table-set at 2^16 max height on a 32-core host (measured
-plonky2 benchmarks of comparable FFT+Merkle volume) -> ~24 proofs/min.
-The LDE anchor is 4.8e9 butterflies/s (32-core rayon FFT estimate).
+The emitted JSON always records which platform/device actually ran: a
+CPU-fallback number must never be mistaken for a chip number (VERDICT r3
+weak #1).
+
+vs_baseline: the reference publishes no numbers (BASELINE.md) and this
+image has no Rust toolchain to measure it, so the anchors are estimates
+(flagged via "baseline_estimated": true): plonky2-class CPU prover ~24
+segment proofs/min at this tiny-segment shape on a 32-core host; 4.8e9
+butterflies/s for the 32-core rayon LDE.
 """
 
 import json
@@ -32,17 +40,17 @@ import time
 from zkm_tpu.utils.cache import enable_persistent_cache
 
 # Without the persistent cache every bench run cold-compiles the whole
-# 12-table prover (~1 h); with it only the first run on a host pays.
-enable_persistent_cache()
+# prover; with it only the first run on a host pays (the cache works for
+# the axon TPU backend too — verified: fresh-process recompile of a cached
+# graph is ~10x faster).
+CACHE_DIR = enable_persistent_cache()
 
 BASELINE_PROOFS_PER_MIN = 24.0
 BASELINE_BUTTERFLIES_PER_SEC = 4.8e9
 
-# Wall-clock budget for the prove-mode metric.  If first-compile costs
-# blow past it (fresh host, empty cache), fall back to the LDE metric so
-# the driver always gets a JSON line.  Compiles done before the alarm
-# fired are already persisted, so the *next* run completes the prove
-# metric warm.
+# Wall-clock budget for the prove-mode metric.  Compiles persisted before
+# the alarm make the *next* run warmer, so a cold host converges to a
+# completed prove metric across rounds even if one run falls back.
 PROVE_BUDGET_S = int(os.environ.get("BENCH_PROVE_BUDGET_S", "1500"))
 
 
@@ -51,7 +59,13 @@ class _BenchTimeout(Exception):
 
 
 def _alarm(signum, frame):
-    raise _BenchTimeout(f"prove bench exceeded {PROVE_BUDGET_S}s budget")
+    raise _BenchTimeout(f"prove bench exceeded budget")
+
+
+def _device_info():
+    import jax
+    dev = jax.devices()[0]
+    return jax.default_backend(), str(dev)
 
 
 def bench_lde():
@@ -61,8 +75,9 @@ def bench_lde():
     from zkm_tpu.field import goldilocks as gl
     from zkm_tpu.field import ntt
 
+    platform, device = _device_info()
+    on_tpu = platform != "cpu"
     dev = jax.devices()[0]
-    on_tpu = dev.platform != "cpu"
 
     c = 64
     log_n = 14 if on_tpu else 12
@@ -82,11 +97,13 @@ def bench_lde():
     out = lde_step(values)
     jax.block_until_ready(out)
 
-    iters = 3 if on_tpu else 2
+    # Queue all iterations before blocking once: async dispatch pipelines
+    # the device work, so per-dispatch (tunnel) latency amortizes instead
+    # of serializing into the measurement.
+    iters = 30 if on_tpu else 3
     t0 = time.time()
-    for _ in range(iters):
-        out = lde_step(values)
-    jax.block_until_ready(out)
+    outs = [lde_step(values) for _ in range(iters)]
+    jax.block_until_ready(outs[-1])
     dt = (time.time() - t0) / iters
 
     butterflies = c * (n * log_n // 2 + (n << rate_bits) * log_m // 2)
@@ -96,14 +113,15 @@ def bench_lde():
         "value": round(rate),
         "unit": "butterflies/s",
         "vs_baseline": round(rate / BASELINE_BUTTERFLIES_PER_SEC, 4),
+        "platform": platform,
+        "device": device,
+        "baseline_estimated": True,
     }
 
 
-def bench_prove():
+def _bench_segment():
     from zkm_tpu.emulator.state import State
     from zkm_tpu.emulator.utils import split_prog_into_segs
-    from zkm_tpu.host import prove_segment
-    from zkm_tpu.stark.config import StarkConfig
 
     insns = [0x24080005, 0x2409000A, 0x01095020,
              0x3508BEEF, 0x01096824, 0x01097025,
@@ -113,12 +131,29 @@ def bench_prove():
     state = State()
     state.memory.set_memory_range(0, prog)
     _, segs, _ = split_prog_into_segs(state, None, "", seg_size=1 << 20)
+    return segs[0]
+
+
+def bench_prove():
+    from zkm_tpu.host import prove_segment
+    from zkm_tpu.stark.config import StarkConfig
+
+    platform, device = _device_info()
+    seg = _bench_segment()
     cfg = StarkConfig.standard_fast_config()
 
-    prove_segment(segs[0], cfg)          # warm-up: compiles
+    print(f"[bench] platform={platform} device={device} "
+          f"cache={CACHE_DIR}", file=sys.stderr, flush=True)
     t0 = time.time()
-    prove_segment(segs[0], cfg)
+    prove_segment(seg, cfg)          # warm-up: compiles (persisted)
+    print(f"[bench] warm-up proof done in {time.time() - t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    prove_segment(seg, cfg)
     dt = time.time() - t0
+    print(f"[bench] timed proof done in {dt:.1f}s", file=sys.stderr,
+          flush=True)
 
     per_min = 60.0 / dt
     return {
@@ -126,11 +161,23 @@ def bench_prove():
         "value": round(per_min, 3),
         "unit": "proofs/min",
         "vs_baseline": round(per_min / BASELINE_PROOFS_PER_MIN, 4),
+        "platform": platform,
+        "device": device,
+        "baseline_estimated": True,
+        "config": "standard_fast_config",
+        "subset": "SPONGE_SUBSET(6 tables)",
     }
 
 
 def main():
     mode = os.environ.get("BENCH_MODE", "prove")
+    platform, _ = _device_info()
+    if mode == "prove" and platform == "cpu":
+        print("[bench] ERROR: no TPU visible (platform=cpu) — the prove "
+              "metric is TPU-only; emitting the LDE fallback with "
+              "platform=cpu so it cannot be mistaken for a chip number",
+              file=sys.stderr, flush=True)
+        mode = "lde"
     if mode == "prove":
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(PROVE_BUDGET_S)
@@ -141,14 +188,15 @@ def main():
             # original budget, and a late SIGALRM would kill the run with
             # no JSON line at all.
             signal.alarm(0)
-            print(f"prove bench failed ({e!r}); falling back to LDE",
-                  file=sys.stderr)
+            print(f"prove bench failed ({e!r}); falling back to LDE "
+                  f"(compiles done so far are persisted — the next run "
+                  f"starts warmer)", file=sys.stderr, flush=True)
             result = bench_lde()
         finally:
             signal.alarm(0)
     else:
         result = bench_lde()
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

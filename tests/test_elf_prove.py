@@ -55,3 +55,21 @@ def test_prove_hello_segment(hello_segments):
     receipt = prove_segment(hello_segments[0], config, a)
     verify_segment_receipt(receipt, config, a)
     assert receipt.pre_image_id == hello_segments[0].pre_image_id
+
+
+@pytest.mark.slow
+def test_prove_hello_sponge_chain(hello_segments):
+    """VERDICT r3 item 6: real compiled-ELF segments through the
+    production SPONGE_SUBSET at standard_fast_config, >= 2 segments
+    receipt-chained (pre/post image ids bound in-proof by the Poseidon
+    page-hash sponge).  Sized for the TPU host (set ZKM_SLOW=1 there);
+    wall-clock numbers recorded in BASELINE.md."""
+    from zkm_tpu.host import (check_receipt_chain, prove_segment,
+                              verify_segment_receipt)
+    config = StarkConfig.standard_fast_config()
+    a = make_all_stark()           # SPONGE_SUBSET
+    r0 = prove_segment(hello_segments[0], config, a)
+    r1 = prove_segment(hello_segments[1], config, a)
+    for r in (r0, r1):
+        verify_segment_receipt(r, config, a)
+    check_receipt_chain([r0, r1])

@@ -54,6 +54,19 @@ class AggregationTree:
         self.shrink_circuit = shrink_circuit
         self._circuits: Dict[tuple, ShrinkCircuit] = {}
         self._disk_cache = disk_cache
+        # verifying-key index: program cap -> the circuit that verifies
+        # proofs carrying it (for assumption/receipt verification)
+        self._by_cap: Dict[bytes, ShrinkCircuit] = {
+            np.asarray(shrink_circuit.program_cap).tobytes(): shrink_circuit}
+
+    def circuit_for(self, item: "AggItem") -> ShrinkCircuit:
+        """The circuit whose verifying key (program cap) signed `item`."""
+        cap = np.asarray(item.program_cap).tobytes()
+        try:
+            return self._by_cap[cap]
+        except KeyError:
+            raise KeyError("no circuit known for this verifying key "
+                           "(foreign program cap)") from None
 
     # -- leaves ---------------------------------------------------------------
 
@@ -79,6 +92,7 @@ class AggregationTree:
                 if self._disk_cache:
                     self._node_circuit_save(key, circuit)
             self._circuits[key] = circuit
+        self._by_cap[np.asarray(circuit.program_cap).tobytes()] = circuit
         return circuit
 
     def _node_path(self, key: tuple) -> str:
@@ -146,3 +160,54 @@ class AggregationTree:
         if parent is None:
             return block_agg
         return self.aggregate_pair(parent, block_agg)
+
+    # -- composition (assumption discharge) -------------------------------------
+    # Reference analog: `verify_block` verifies every proven assumption's
+    # receipt as part of accepting a composite block receipt
+    # (fixed_recursive_verifier.rs:1069-1092 — the assumption check is
+    # host-side `verify_root` there too; the in-circuit part is the
+    # program proof itself).  Here the assumption receipt is a
+    # recursion-level AggItem (shrunk or aggregated), so discharge =
+    # verify_shrink under the verifying key that signed it + claim-digest
+    # equality against what the program's SYS_VERIFY consumed.
+
+    def compose_block(self, program: AggItem,
+                      assumptions: Sequence["AssumptionProof"]
+                      ) -> "CompositeBlockReceipt":
+        return CompositeBlockReceipt(
+            program=program,
+            assumptions=[(ap.claim_digest(), ap) for ap in assumptions])
+
+    def verify_block_receipt(self, receipt: "CompositeBlockReceipt"):
+        """verify_block analog: the program chain proof, then every
+        assumption's own recursion proof (under ITS verifying key) and its
+        claim digest binding."""
+        verify_shrink(self.circuit_for(receipt.program),
+                      receipt.program.proof)
+        for claim, ap in receipt.assumptions:
+            if ap.claim_digest() != claim:
+                raise ValueError("assumption claim digest mismatch")
+            verify_shrink(self.circuit_for(ap.item), ap.item.proof)
+
+
+@dataclass
+class AssumptionProof:
+    """A proven assumption at recursion level: the assumed execution's
+    shrunk/aggregated proof.  Exposes `claim_digest()` so it can be passed
+    directly in the witness-generation assumption environment
+    (receipts.find_assumption duck-types on claim_digest)."""
+    item: AggItem
+
+    def claim_digest(self) -> bytes:
+        import hashlib
+        pv = self.item.proof.public_values
+        return hashlib.sha256(pv.roots_before.to_image_id()
+                              + pv.userdata).digest()
+
+
+@dataclass
+class CompositeBlockReceipt:
+    """Block receipt + the assumption proofs it depends on (reference
+    CompositeReceipt at the recursion level)."""
+    program: AggItem
+    assumptions: List[Tuple[bytes, AssumptionProof]]

@@ -32,6 +32,9 @@ class MemRoots:
         return MemRoots([int.from_bytes(image_id[i:i + 4], "little")
                          for i in range(0, 32, 4)])
 
+    def to_image_id(self) -> bytes:
+        return b"".join(int(w).to_bytes(4, "little") for w in self.root)
+
 
 @dataclass
 class PublicValues:

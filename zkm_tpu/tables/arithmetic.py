@@ -5,14 +5,17 @@ shared columns (N_LIMBS=2), a 2^16 range-check counter + frequencies, and 8
 AUX_EXTRA columns; every shared column is logUp-range-checked against the
 counter (arithmetic_stark.rs:123-152).
 
-Implemented op families (round 1):
+Implemented op families (all of the reference's):
   * addcy (ADD/ADDU/ADDI/ADDIU/SUB/SUBU): X + Y = Z + CY*2^32 over limbs
     (addcy.rs).
   * slt (SLT/SLTU/SLTI/SLTIU): borrow chain with a sign-flip aux for the
     signed comparison (slt.rs).
   * lo_hi moves (MFHI/MTHI/MFLO/MTLO): input == output (lo_hi.rs).
-Remaining families (MULT/MUL/DIV/shifts/SRA/LUI) follow in the next round —
-flags/columns are already laid out to match the reference.
+  * mul / mult(u): limb products with carry aux columns (mul.rs, mult.rs).
+  * div(u)/mod: two-row witness with absolute values + sign bits in the
+    next row's shared columns, input0_abs = quot_abs*input1_abs + rem_abs
+    with addcy-style carries (div.rs; SURVEY.md §8).
+  * shifts SLL/SRL/SLLV/SRLV (shift.rs), SRA/SRAV (sra.rs), LUI (lui.rs).
 """
 
 from __future__ import annotations
