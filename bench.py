@@ -137,23 +137,33 @@ def _bench_segment():
 def bench_prove():
     from zkm_tpu.host import prove_segment
     from zkm_tpu.stark.config import StarkConfig
+    from zkm_tpu.utils.cache import install_compile_monitor
 
     platform, device = _device_info()
     seg = _bench_segment()
     cfg = StarkConfig.standard_fast_config()
+    cstats = install_compile_monitor()
 
     print(f"[bench] platform={platform} device={device} "
           f"cache={CACHE_DIR}", file=sys.stderr, flush=True)
     t0 = time.time()
     prove_segment(seg, cfg)          # warm-up: compiles (persisted)
-    print(f"[bench] warm-up proof done in {time.time() - t0:.1f}s",
+    warm_dt = time.time() - t0
+    print(f"[bench] warm-up proof done in {warm_dt:.1f}s "
+          f"(XLA compiles: {cstats['compiles']} graphs, "
+          f"{cstats['secs']:.1f}s = "
+          f"{100 * cstats['secs'] / max(warm_dt, 1e-9):.0f}% of "
+          f"wall-clock; persistent-cache hits: {cstats['cache_hits']})",
           file=sys.stderr, flush=True)
+    warm_compiles = cstats["compiles"]
 
     t0 = time.time()
     prove_segment(seg, cfg)
     dt = time.time() - t0
-    print(f"[bench] timed proof done in {dt:.1f}s", file=sys.stderr,
-          flush=True)
+    timed_compiles = cstats["compiles"] - warm_compiles
+    print(f"[bench] timed proof done in {dt:.1f}s "
+          f"(compiles during timed run: {timed_compiles})",
+          file=sys.stderr, flush=True)
 
     per_min = 60.0 / dt
     return {
@@ -166,6 +176,9 @@ def bench_prove():
         "baseline_estimated": True,
         "config": "standard_fast_config",
         "subset": "SPONGE_SUBSET(6 tables)",
+        "warmup_s": round(warm_dt, 1),
+        "compiled_graphs": warm_compiles,
+        "compiles_in_timed_run": timed_compiles,
     }
 
 

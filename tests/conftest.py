@@ -30,11 +30,20 @@ jax.config.update("jax_platforms", "cpu")
 # smaller compiled graphs; see zkm_tpu/field/goldilocks.py).
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: compiled kernels survive across test runs
-# (host-partitioned; see zkm_tpu/utils/cache.py for why).
+# NO persistent compilation cache in the suite: XLA:CPU's executable
+# serialize/deserialize segfaults non-deterministically once a process
+# has handled several large prove executables (observed as SIGSEGV inside
+# executable.serialize() / backend.deserialize_executable() /
+# backend_compile_and_load at positions that move with test order; every
+# module passes in isolation).  Stub the cache entry points so the suite
+# always compiles in-process — xdist workers (pytest.ini) keep per-process
+# executable volume low and contain any residual crash to one worker.
 from zkm_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
-enable_persistent_cache()
+from jax._src import compilation_cache as _cc  # noqa: E402
+
+_cc.put_executable_and_time = lambda *a, **k: None
+_cc.get_executable_and_time = lambda *a, **k: (None, None)
 
 import numpy as np
 import pytest
@@ -49,15 +58,35 @@ def pytest_configure(config):
 def pytest_collection_modifyitems(config, items):
     """Heavy e2e proves (full-subset / production-config) only run when
     opted in — the default suite must finish in one sitting on the 4-core
-    host (VERDICT round-2 weak #7)."""
-    if os.environ.get("ZKM_SLOW"):
-        return
-    skip = pytest.mark.skip(reason="slow e2e prove: set ZKM_SLOW=1 to run")
-    for item in items:
-        if "slow" in item.keywords:
-            item.add_marker(skip)
+    host (VERDICT round-2 weak #7).  Also reorders heavy-compile modules
+    to the front (see _HEAVY_FIRST below)."""
+    if not os.environ.get("ZKM_SLOW"):
+        skip = pytest.mark.skip(
+            reason="slow e2e prove: set ZKM_SLOW=1 to run")
+        for item in items:
+            if "slow" in item.keywords:
+                item.add_marker(skip)
+    rank = {m: i for i, m in enumerate(_HEAVY_FIRST)}
+    items.sort(key=lambda item: rank.get(
+        item.module.__name__.rsplit(".", 1)[-1], len(_HEAVY_FIRST)))
 
 
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# XLA:CPU segfaults compiling/(de)serializing the BIG multi-table prove
+# executables when that happens late in a long-lived process (observed
+# deterministically at test_host after ~48 tests, in three different
+# innermost frames across runs: cache get, cache put, and
+# backend_compile_and_load itself — so it is the executable handling, not
+# the cache).  The same compiles succeed in a fresh or lightly-loaded
+# process (test_host alone passes in ~8 min).  Workaround: run the
+# heavy-compile modules FIRST, while the process has little accumulated
+# XLA state.
+_HEAVY_FIRST = ["test_host", "test_public_values", "test_elf_prove",
+                "test_full_system"]
+
+
+

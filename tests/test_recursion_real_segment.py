@@ -84,3 +84,41 @@ def test_aggregate_two_real_segments(segment_proofs):
         receipts[0].proof.public_values.roots_before.root
     assert root.proof.public_values.roots_after.root == \
         receipts[1].proof.public_values.roots_after.root
+
+
+def test_wrap_aggregated_root_groth16(segment_proofs):
+    """VERDICT r3 item 4 done-condition: segment -> shrink -> aggregate ->
+    export -> Groth16 wrap -> verify, plus verifier.sol emission.  The
+    aggregation root from the previous test's pipeline is rebuilt here
+    (module-scope circuit reuse keeps it one recording)."""
+    import json
+
+    from zkm_tpu import export
+    from zkm_tpu.recursion.aggregate import AggregationTree
+    from zkm_tpu.recursion.shrink import build_shrink_circuit
+    from zkm_tpu.snark import groth16 as g16
+    from zkm_tpu.snark import mimc, wrap
+    from zkm_tpu.snark.contract import emit_verifier_sol
+
+    all_stark, config, receipts = segment_proofs
+    circuit = build_shrink_circuit(
+        all_stark.starks, all_stark.ctls, config, receipts[0].proof)
+    tree = AggregationTree(circuit)
+    root = tree.aggregate([tree.shrink(r.proof) for r in receipts])
+
+    doc = export.export_proof(root.proof, circuit.config,
+                              program_cap=root.program_cap)
+    pk = wrap.groth16_setup()
+    wp = wrap.wrap_stark_bn254(doc, pk)
+    assert g16.verify(pk.vk, wp.public_inputs, wp.proof)
+    # digest binds the exported claim (incl. the aggregated proof bytes)
+    assert wp.public_inputs[0] == mimc.hash_elements(wrap.claim_limbs(doc))
+    # tampering the claim fails verification
+    bad = list(wp.public_inputs)
+    bad[1] ^= 1
+    assert not g16.verify(pk.vk, bad, wp.proof)
+
+    sol = emit_verifier_sol(pk.vk)
+    assert "function verifyProof" in sol
+    parsed = json.loads(wp.to_json())
+    assert len(parsed["public_inputs"]) == 11

@@ -75,3 +75,19 @@ def test_composition_guest():
     t = generate_segment_traces(segs[0], assumptions=[proven])
     assert t.claim_digests == [digest]
     assert t.assumptions_used[0][1] is proven
+
+
+def test_memalloc_guest():
+    """Memory-heavy workload (BASELINE.md mem-alloc-vec row): mmap +
+    write/read-back XOR over 512 words; checks the committed accumulator
+    and that the witness CTLs still balance on the widened address
+    range."""
+    segs, final = _run(examples.build_memalloc_guest(8, 64))
+    acc = 0
+    for i in range(512):
+        acc ^= (i * 0x9E3779B1) & 0xFFFFFFFF
+    assert int.from_bytes(bytes(final.public_values_stream), "big") == acc
+    from tests.test_sha_integration import CTL_NAMES, _table_rows
+    t = generate_segment_traces(segs[0], sponge=True)
+    a = make_all_stark()
+    check_ctls(_table_rows(t, a), a.ctls, names=CTL_NAMES)

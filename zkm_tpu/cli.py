@@ -6,6 +6,7 @@ Usage:
   python -m zkm_tpu.cli split-seg   ELF_PATH=... SEG_OUTPUT=... [SEG_SIZE=65536] [ARGS="a b"]
   python -m zkm_tpu.cli prove-seg   SEG_FILE=... [DEBUG=1]
   python -m zkm_tpu.cli prove-elf   ELF_PATH=... [SEG_SIZE=...] [ARGS=...]
+  python -m zkm_tpu.cli wrap        PROOF_JSON=... OUTPUT_DIR=...
 (variables read from the environment, like the reference binaries)
 """
 
@@ -58,6 +59,36 @@ def cmd_prove_elf():
         verify_segment_receipt(r)
     print(f"proved {len(receipts)} segments; final image id "
           f"{receipts[-1].image_id.hex()}")
+
+
+def cmd_wrap():
+    """STARK -> Groth16 wrap of an exported (already verified) proof:
+    the as_groth16 / SetupAndGenerateSolVerifier driver analog
+    (recursion/src/lib.rs:162-169, libsnark/snark_prover.go:262-309).
+
+    PROOF_JSON=exported proof path; OUTPUT_DIR=where to write
+    snark_proof_with_public_inputs.json and verifier.sol."""
+    import json as _json
+
+    proof_path = _env("PROOF_JSON", required=True)
+    out_dir = _env("OUTPUT_DIR", required=True)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(proof_path) as f:
+        doc = _json.load(f)
+
+    from .snark import wrap as snark_wrap
+    from .snark.contract import emit_verifier_sol
+
+    pk = snark_wrap.groth16_setup()
+    wrapped = snark_wrap.wrap_stark_bn254(doc, pk)
+    proof_out = os.path.join(out_dir, "snark_proof_with_public_inputs.json")
+    with open(proof_out, "w") as f:
+        f.write(wrapped.to_json())
+    sol_out = os.path.join(out_dir, "verifier.sol")
+    with open(sol_out, "w") as f:
+        f.write(emit_verifier_sol(pk.vk))
+    print(f"wrapped: {proof_out} + {sol_out}; "
+          f"claim digest (MiMC) {wrapped.public_inputs[0]}")
 
 
 def main():

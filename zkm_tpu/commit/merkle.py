@@ -48,22 +48,35 @@ class MerkleTree:
             i >>= 1
         return sibs
 
+    def open_batch_device(self, indices):
+        """Device-side stacked sibling gather: (n_levels, Q, 4) Gf, or
+        None for a cap-sized tree (exactly 2^cap_height leaves: the leaf
+        digests ARE the cap, so every path is empty — hit by min-height
+        tables (2^6 rows) in the FRI commit phase under
+        standard_fast_config).  Lets callers batch the device->host fetch
+        of many trees' paths into one round trip."""
+        if len(self.levels) == 1:
+            return None
+        idx = np.array(indices, dtype=np.int64)
+        return _open_batch_core(tuple(self.levels[:-1]), idx)
+
+    @staticmethod
+    def paths_from_stacked(arr, n_queries: int) -> List[List[np.ndarray]]:
+        """(n_levels, Q, 4) u64 -> [per query: [sibling (4,) ...]]."""
+        if arr is None:
+            return [[] for _ in range(n_queries)]
+        return [[arr[lvl, q] for lvl in range(arr.shape[0])]
+                for q in range(n_queries)]
+
     def open_batch(self, indices) -> List[List[np.ndarray]]:
         """Merkle paths for many leaves in ONE jitted gather over all
         levels + one transfer (37 FRI queries x log_m levels of per-query
         `open` calls were hundreds of tiny device->host round-trips, and
         per-level dispatch still paid ~60 kernel compiles on a remote-TPU
         backend).  Returns [per index: [sibling u64 (4,) ...]]."""
-        if len(self.levels) == 1:
-            # Cap-sized tree (exactly 2^cap_height leaves): the leaf digests
-            # ARE the cap, so every path is empty.  Hit by min-height tables
-            # (2^6 rows) in the FRI commit phase under standard_fast_config.
-            return [[] for _ in indices]
-        idx = np.array(indices, dtype=np.int64)
-        stacked = _open_batch_core(tuple(self.levels[:-1]), idx)
-        arr = gl.to_u64(stacked)                    # (L, Q, 4), one transfer
-        return [[arr[lvl, q] for lvl in range(arr.shape[0])]
-                for q in range(len(indices))]
+        stacked = self.open_batch_device(indices)
+        arr = gl.to_u64(stacked) if stacked is not None else None
+        return self.paths_from_stacked(arr, len(indices))
 
 
 @jax.jit

@@ -86,10 +86,23 @@ def from_u64(x) -> Gf:
 
 
 def to_u64(a: Gf) -> np.ndarray:
-    """(lo, hi) -> host numpy uint64 array."""
-    lo = np.asarray(jax.device_get(a[0]), dtype=np.uint64)
-    hi = np.asarray(jax.device_get(a[1]), dtype=np.uint64)
-    return lo | (hi << np.uint64(32))
+    """(lo, hi) -> host numpy uint64 array.
+
+    One pytree device_get: jax async-copies all leaves before blocking, so
+    this costs ONE device->host round trip, not two (each trip is ~125 ms
+    over a remote-TPU tunnel; the warm prove was transfer-latency-bound)."""
+    lo, hi = jax.device_get((a[0], a[1]))
+    return np.asarray(lo, dtype=np.uint64) | \
+        (np.asarray(hi, dtype=np.uint64) << np.uint64(32))
+
+
+def to_u64_many(gfs) -> list:
+    """Fetch MANY Gf values in one device->host round trip (the transfers
+    overlap; see to_u64).  Returns a list of u64 arrays."""
+    host = jax.device_get([(g[0], g[1]) for g in gfs])
+    return [np.asarray(lo, dtype=np.uint64)
+            | (np.asarray(hi, dtype=np.uint64) << np.uint64(32))
+            for lo, hi in host]
 
 
 def zeros(shape) -> Gf:

@@ -92,9 +92,26 @@ def eval_columns_at(coeffs: gl.Gf, z: Ext) -> np.ndarray:
 
     Returns a host (C, 2) u64 array.
     """
-    zc = gl2.scalar_from_u64s(z[0], z[1])
-    s = _eval_columns_core(coeffs, zc)
-    return np.stack([gl.to_u64(s[0]), gl.to_u64(s[1])], axis=-1)
+    return eval_columns_at_many([(coeffs, z)])[0]
+
+
+def eval_columns_at_many(pairs, extra=()) -> list:
+    """Batched eval_columns_at: dispatch every (coeffs, z) evaluation,
+    then fetch ALL results in one device->host round trip (the per-table
+    opening set is 5 evaluations; serial fetches over a remote-TPU tunnel
+    dominated the warm prove).
+
+    `extra`: additional device Gf values to ride the same fetch; their u64
+    arrays are appended to the returned list after the (C, 2) openings."""
+    outs = []
+    for coeffs, z in pairs:
+        zc = gl2.scalar_from_u64s(z[0], z[1])
+        s = _eval_columns_core(coeffs, zc)
+        outs.append((s[0], s[1]))
+    flat = gl.to_u64_many([g for pair in outs for g in pair]
+                          + list(extra))
+    return [np.stack([flat[2 * i], flat[2 * i + 1]], axis=-1)
+            for i in range(len(outs))] + flat[2 * len(outs):]
 
 
 def _ext_powers_device(z: gl2.Gf2, n: int) -> gl2.Gf2:

@@ -223,10 +223,11 @@ def fri_prove(oracles: Sequence[PolynomialBatch],
     final_coeffs = (ntt.coset_intt(vals_nat[0], shift),
                     ntt.coset_intt(vals_nat[1], shift))
     fdeg = 1 << (degree_bits - sum(arities))
-    c0 = gl.to_u64(gl.getitem(final_coeffs[0], slice(0, fdeg)))
-    c1 = gl.to_u64(gl.getitem(final_coeffs[1], slice(0, fdeg)))
-    tail0 = gl.to_u64(gl.getitem(final_coeffs[0], slice(fdeg, None)))
-    tail1 = gl.to_u64(gl.getitem(final_coeffs[1], slice(fdeg, None)))
+    c0, c1, tail0, tail1 = gl.to_u64_many([
+        gl.getitem(final_coeffs[0], slice(0, fdeg)),
+        gl.getitem(final_coeffs[1], slice(0, fdeg)),
+        gl.getitem(final_coeffs[0], slice(fdeg, None)),
+        gl.getitem(final_coeffs[1], slice(fdeg, None))])
     assert not tail0.any() and not tail1.any(), "final poly not low-degree"
     final_poly = np.stack([c0, c1], axis=1)
     for i in range(fdeg):
@@ -243,25 +244,44 @@ def fri_prove(oracles: Sequence[PolynomialBatch],
     indices = [challenger.get_challenge() % lde_size
                for _ in range(config.num_query_rounds)]
 
-    # Batched query extraction: one gather + device->host transfer per
-    # (oracle | layer) per tree level, instead of per query (37 queries x
-    # ~6 levels of tiny transfers crawl over a remote-TPU tunnel).
-    oracle_rows = []
-    oracle_paths = []
-    for oracle in oracles:
-        rows, paths = oracle.open_rows(indices)
-        oracle_rows.append(rows)
-        oracle_paths.append(paths)
+    # Batched query extraction: gather rows + full Merkle paths for every
+    # (oracle | fold layer) on device first, then fetch EVERYTHING in ONE
+    # device->host round trip (each trip is ~125 ms over a remote-TPU
+    # tunnel; this block previously paid one per oracle/layer rows AND one
+    # per oracle/layer paths).
+    idx0 = np.asarray(indices, dtype=np.int64)
+    oracle_rows_dev = [gl.take(o.leaves, idx0, axis=0) for o in oracles]
+    oracle_paths_dev = [o.tree.open_batch_device(indices) for o in oracles]
 
-    step_data = []
-    idx_arr = np.asarray(indices, dtype=np.int64)
+    step_rows_dev = []
+    step_paths_dev = []
+    step_arities = []
+    idx_arr = idx0
     for (tree, leaves), arity_bits in zip(trees, arities):
         arity = 1 << arity_bits
         coset_idx = idx_arr >> arity_bits
-        rows = gl.to_u64(gl.take(leaves, coset_idx, axis=0))  # (Q, 2*arity)
-        paths = tree.open_batch(coset_idx)
-        step_data.append((arity, rows, paths))
+        step_rows_dev.append(gl.take(leaves, coset_idx, axis=0))
+        step_paths_dev.append(tree.open_batch_device(coset_idx))
+        step_arities.append(arity)
         idx_arr = coset_idx
+
+    all_paths_dev = oracle_paths_dev + step_paths_dev
+    fetched = gl.to_u64_many(
+        oracle_rows_dev + step_rows_dev
+        + [p for p in all_paths_dev if p is not None])
+    k, m = len(oracles), len(step_rows_dev)
+    oracle_rows = fetched[:k]
+    step_rows = fetched[k:k + m]
+    paths_iter = iter(fetched[k + m:])
+    path_arrs = [next(paths_iter) if p is not None else None
+                 for p in all_paths_dev]
+    nq = len(indices)
+    oracle_paths = [MerkleTree.paths_from_stacked(arr, nq)
+                    for arr in path_arrs[:k]]
+    step_data = [
+        (arity, rows, MerkleTree.paths_from_stacked(arr, nq))
+        for arity, rows, arr in zip(step_arities, step_rows,
+                                    path_arrs[k:])]
 
     query_rounds = []
     for q in range(len(indices)):

@@ -106,3 +106,51 @@ def build_composition_guest(claim_addr: int = 0x4000) -> bytes:
     guest.verify(a, claim_addr)
     guest.halt(a, 0)
     return a.assemble()
+
+
+def build_memalloc_guest(n_blocks: int = 8, block_words: int = 64) -> bytes:
+    """Memory-table-heavy guest (BASELINE.md's mem-alloc-vec-style
+    workload; reference analog prover/examples mem-intensive guests):
+    mmap a heap region (syscall 4090), write a striding pattern over
+    n_blocks * block_words words, read it back XOR-accumulating, and
+    commit the 4-byte accumulator.  Exercises mmap/brk, wide address
+    ranges (memory-table fill_gaps), and lw/sw pressure."""
+    a = Asm()
+    total = n_blocks * block_words
+    # v0=4090 (mmap) at an explicit address: raw (non-ELF) states start
+    # with heap=0, and a kernel-placed mapping at 0 would overlap the
+    # program text (ELF-loaded guests get a real heap from load_elf).
+    a.li("a0", 0x100000)
+    a.li("a1", total * 4)
+    a.li("v0", 4090)
+    a.syscall()
+    a.move("s0", "v0")                 # base
+    # write pass: mem[i] = i * 2654435761 (Knuth hash stride)
+    a.li("t0", 0)                      # i
+    a.li("t1", total)
+    a.li("t2", 0x9E3779B1 & 0xFFFFFFFF)
+    a.label("wloop")
+    a.multu("t0", "t2")
+    a.mflo("t3")
+    a.sll("t4", "t0", 2)
+    a.addu("t4", "s0", "t4")
+    a.sw("t3", 0, "t4")
+    a.addiu("t0", "t0", 1)
+    a.bne("t0", "t1", "wloop")
+    a.nop()
+    # read pass: acc ^= mem[i]
+    a.li("t0", 0)
+    a.li("t5", 0)                      # acc
+    a.label("rloop")
+    a.sll("t4", "t0", 2)
+    a.addu("t4", "s0", "t4")
+    a.lw("t3", 0, "t4")
+    a.xor("t5", "t5", "t3")
+    a.addiu("t0", "t0", 1)
+    a.bne("t0", "t1", "rloop")
+    a.nop()
+    a.li("t6", 0x3000)
+    a.sw("t5", 0, "t6")
+    guest.commit(a, 0x3000, 4)
+    guest.halt(a, 0)
+    return a.assemble()

@@ -104,16 +104,46 @@ class WrappedProof:
 
 
 _PK_CACHE: dict = {}
+_PK_VERSION = 1   # bump when the wrap circuit or MiMC constants change
+
+
+def _pk_path() -> str:
+    import os
+
+    from ..recursion.cache import CACHE_DIR
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    return os.path.join(CACHE_DIR, f"groth16_wrap_pk_v{_PK_VERSION}.pkl")
 
 
 def groth16_setup(force: bool = False) -> g16.ProvingKey:
     """Build (or reuse) the wrap circuit's proving key.  The circuit shape
-    is claim-independent, so one setup serves every wrap (the reference
-    caches its R1CS/pk/vk on disk the same way, snark_prover.go:144-259)."""
-    if "pk" not in _PK_CACHE or force:
-        cs = build_wrap_circuit([0] * CLAIM_LIMBS)
-        _PK_CACHE["pk"] = g16.setup(cs)
-    return _PK_CACHE["pk"]
+    is claim-independent, so one setup serves every wrap; the key persists
+    to disk so later processes skip the ~90 s setup (the reference caches
+    its R1CS/pk/vk on disk the same way, snark_prover.go:144-259)."""
+    import pickle
+
+    if "pk" in _PK_CACHE and not force:
+        return _PK_CACHE["pk"]
+    path = _pk_path()
+    if not force:
+        try:
+            with open(path, "rb") as f:
+                _PK_CACHE["pk"] = pickle.load(f)
+            return _PK_CACHE["pk"]
+        except (OSError, pickle.UnpicklingError, EOFError):
+            pass
+    cs = build_wrap_circuit([0] * CLAIM_LIMBS)
+    pk = g16.setup(cs)
+    _PK_CACHE["pk"] = pk
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(pk, f)
+        import os
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return pk
 
 
 def wrap_stark_bn254(doc: dict,

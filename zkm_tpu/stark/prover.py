@@ -302,17 +302,16 @@ def prove_single_table(stark, config: StarkConfig, trace_values: gl.Gf,
     zeta_next = gl2.host_mul(zeta, (g, 0))
 
     with timed("openings eval", table=type(stark).__name__):
-        local_values = fri_oracle.eval_columns_at(trace_commitment.coeffs,
-                                                  zeta)
-        next_values = fri_oracle.eval_columns_at(trace_commitment.coeffs,
-                                                 zeta_next)
-        aux_open = fri_oracle.eval_columns_at(aux_commitment.coeffs, zeta)
-        aux_open_next = fri_oracle.eval_columns_at(aux_commitment.coeffs,
-                                                   zeta_next)
-        quotient_open = fri_oracle.eval_columns_at(
-            quotient_commitment.coeffs, zeta)
-        # openings at 1 = sum of coefficients (base field)
-        aux_at_one = gl.to_u64(gl.sum_axis(aux_commitment.coeffs, -1))
+        # all 5 opening sets + the at-1 coefficient sums (openings at the
+        # point 1, base field) fetched in ONE device->host round trip
+        (local_values, next_values, aux_open, aux_open_next,
+         quotient_open, aux_at_one) = fri_oracle.eval_columns_at_many(
+             [(trace_commitment.coeffs, zeta),
+              (trace_commitment.coeffs, zeta_next),
+              (aux_commitment.coeffs, zeta),
+              (aux_commitment.coeffs, zeta_next),
+              (quotient_commitment.coeffs, zeta)],
+             extra=[gl.sum_axis(aux_commitment.coeffs, -1)])
     total_helpers = sum(ctl_data.num_ctl_helper_polys())
     ctl_zs_first = aux_at_one[num_lookup_columns + total_helpers:]
 
@@ -382,9 +381,12 @@ def prove_with_traces(starks: Sequence, config: StarkConfig,
     with timed("trace commits", tables=len(traces)):
         trace_commitments = [pb.from_values(t, rate_bits, cap_height)
                              for t in traces]
+        # fetch all caps in one round trip (observation order is fixed by
+        # the transcript, but the transfers are independent)
+        caps_u64 = gl.to_u64_many([c.tree.cap for c in trace_commitments])
     challenger = Challenger()
-    for c in trace_commitments:
-        challenger.observe_cap(c.cap_u64())
+    for cap in caps_u64:
+        challenger.observe_cap(cap)
     observe_public_values(challenger, public_values)
 
     ctl_challenges = get_grand_product_challenge_set(

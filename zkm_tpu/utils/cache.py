@@ -38,7 +38,15 @@ def host_cache_dir(root: str = "/root/repo/.jax_cache") -> str:
         tag += hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
     except OSError:
         pass
-    return os.path.join(root, tag)
+    # Partition per BACKEND as well (VERDICT r3 item 1): a poisoned or
+    # cross-machine XLA:CPU AOT entry segfaults the process at cache-LOAD
+    # time (observed: SIGSEGV inside get_executable_and_time during the
+    # test suite), and the fingerprint above cannot always distinguish
+    # the compiling machine.  Separate dirs mean a bad CPU entry can
+    # never take down a TPU run, and a wipe of one platform's entries
+    # keeps the other's warmth.
+    import jax
+    return os.path.join(root, f"{tag}_{jax.default_backend()}")
 
 
 def enable_persistent_cache(root: str = "/root/repo/.jax_cache") -> str:
@@ -50,3 +58,29 @@ def enable_persistent_cache(root: str = "/root/repo/.jax_cache") -> str:
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     return path
+
+
+def install_compile_monitor() -> dict:
+    """Count XLA compilations + time spent compiling (VERDICT r3 item 9:
+    log the number of distinct compiled graphs and the compile share of
+    wall-clock).  Returns a live stats dict: {"compiles", "secs",
+    "cache_hits"}."""
+    import jax
+
+    stats = {"compiles": 0, "secs": 0.0, "cache_hits": 0}
+
+    def _on_duration(event: str, duration: float, **kw):
+        if "backend_compile" in event:
+            stats["compiles"] += 1
+            stats["secs"] += duration
+
+    def _on_event(event: str, **kw):
+        if "cache_hit" in event:
+            stats["cache_hits"] += 1
+
+    jax.monitoring.register_event_duration_secs_listener(_on_duration)
+    try:
+        jax.monitoring.register_event_listener(_on_event)
+    except Exception:
+        pass
+    return stats

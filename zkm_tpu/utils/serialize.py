@@ -73,3 +73,39 @@ def bincode_deserialize_vec_u8(data: bytes, offset: int = 0):
     n = int.from_bytes(data[offset:offset + 8], "little")
     start = offset + 8
     return data[start:start + n], start + n
+
+
+def bincode_deserialize(data: bytes, spec, offset: int = 0):
+    """Schema-driven deserializer for reading committed public values
+    typed (reference `State::read_public_values::<T>`,
+    emulator/src/state.rs:455-459; Go deserialize.go).
+
+    spec: "u8"/"u16"/"u32"/"u64"/"i32"/"i64"/"bool" for scalars, "bytes"
+    or "str" for length-prefixed data, ("vec", inner) for Vec<inner>, and
+    a tuple of specs for a struct.  Returns (value, new_offset)."""
+    widths = {"u8": (1, False), "u16": (2, False), "u32": (4, False),
+              "u64": (8, False), "i32": (4, True), "i64": (8, True)}
+    if isinstance(spec, tuple) and spec and spec[0] == "vec":
+        n = int.from_bytes(data[offset:offset + 8], "little")
+        offset += 8
+        out = []
+        for _ in range(n):
+            v, offset = bincode_deserialize(data, spec[1], offset)
+            out.append(v)
+        return out, offset
+    if isinstance(spec, tuple):           # struct: fields in order
+        out = []
+        for field in spec:
+            v, offset = bincode_deserialize(data, field, offset)
+            out.append(v)
+        return tuple(out), offset
+    if spec in widths:
+        w, signed = widths[spec]
+        return int.from_bytes(data[offset:offset + w], "little",
+                              signed=signed), offset + w
+    if spec == "bool":
+        return bool(data[offset]), offset + 1
+    if spec in ("bytes", "str"):
+        raw, offset = bincode_deserialize_vec_u8(data, offset)
+        return (raw.decode() if spec == "str" else raw), offset
+    raise TypeError(f"unknown bincode spec {spec!r}")
