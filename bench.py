@@ -5,30 +5,30 @@ Prints ONE JSON line:
    "platform": ..., "device": ...}
 
 Primary metric (BENCH_MODE=prove, default, requires a TPU): wall-clock of
-a full `prove_segment` on the production default subset (SPONGE_SUBSET: 6
-tables incl. the Poseidon page-hash chain binding the image ids in-proof)
-under the production standard_fast_config, after one warm-up proof
-(compiles amortize across segments in production; they also persist to
-.jax_cache, so even a budget-aborted warm-up makes the NEXT run warmer).
-Reported as segment proofs per minute.  The pipeline being timed is the
-analog of reference prover/src/prover.rs:130-232 (trace commit -> CTL data
--> per-table aux/quotient/FRI) plus witness generation.
+a full `prove_segment` on a REAL 65536-cycle segment of the reference's
+Go `hello` binary (~372k MIPS instructions over 8 segments; VERDICT r4
+item 3 retired the 11-instruction toy as the headline workload) on the
+production default subset (SPONGE_SUBSET: 6 tables incl. the Poseidon
+page-hash chain binding the image ids in-proof) under the production
+standard_fast_config, after one warm-up proof (compiles amortize across
+segments in production; they also persist to .jax_cache, so even a
+budget-aborted warm-up makes the NEXT run warmer).  Reported as segment
+proofs per minute.  The pipeline being timed is the analog of reference
+prover/src/prover.rs:130-232 (trace commit -> CTL data -> per-table
+aux/quotient/FRI) plus witness generation.
 
-Fallback metric (BENCH_MODE=lde, no-TPU, or prove over budget): LDE
-throughput on the polynomial-commitment hot kernel, with dispatches queued
-in a batch so tunnel/dispatch latency does not masquerade as low
-throughput (round-3 failure mode: 1.8e9 "butterflies/s" that was really
-~20 ms/dispatch of axon-tunnel latency).
-
-The emitted JSON always records which platform/device actually ran: a
-CPU-fallback number must never be mistaken for a chip number (VERDICT r3
-weak #1).
+Fallback chain: hello-segment prove -> tiny-segment prove (the r2-r4
+metric, kept comparable across rounds) -> LDE throughput (no-TPU or
+everything over budget).  The emitted JSON always records which
+platform/device/workload actually ran: a CPU fallback must never be
+mistaken for a chip number (VERDICT r3 weak #1).
 
 vs_baseline: the reference publishes no numbers (BASELINE.md) and this
 image has no Rust toolchain to measure it, so the anchors are estimates
-(flagged via "baseline_estimated": true): plonky2-class CPU prover ~24
-segment proofs/min at this tiny-segment shape on a 32-core host; 4.8e9
-butterflies/s for the 32-core rayon LDE.
+(flagged via "baseline_estimated": true): a plonky2-class 32-core CPU
+prover at ~1.5 proofs/min on the hello-segment shape (Cpu 2^16 x 260
+cols, Memory 2^19, Arithmetic 2^16 + sponge tables), ~24/min at the tiny
+shape, 4.8e9 butterflies/s for the 32-core rayon LDE.
 """
 
 import json
@@ -45,6 +45,8 @@ from zkm_tpu.utils.cache import enable_persistent_cache
 # graph is ~10x faster).
 CACHE_DIR = enable_persistent_cache()
 
+HELLO_ELF = "/root/reference/emulator/test-vectors/hello"
+BASELINE_HELLO_PROOFS_PER_MIN = 1.5
 BASELINE_PROOFS_PER_MIN = 24.0
 BASELINE_BUTTERFLIES_PER_SEC = 4.8e9
 
@@ -119,7 +121,7 @@ def bench_lde():
     }
 
 
-def _bench_segment():
+def _toy_segment():
     from zkm_tpu.emulator.state import State
     from zkm_tpu.emulator.utils import split_prog_into_segs
 
@@ -134,23 +136,36 @@ def _bench_segment():
     return segs[0]
 
 
-def bench_prove():
+def _hello_segment():
+    from zkm_tpu.emulator.utils import (load_elf_with_patch,
+                                        split_prog_into_segs)
+    state = load_elf_with_patch(HELLO_ELF, ["x"], native=True)
+    _, segs, _ = split_prog_into_segs(state, None, "", seg_size=65536)
+    return segs[0]
+
+
+def _prove_twice(seg, workload: str, anchor: float):
+    """Warm-up prove + timed prove; returns the bench JSON dict."""
     from zkm_tpu.host import prove_segment
     from zkm_tpu.stark.config import StarkConfig
     from zkm_tpu.utils.cache import install_compile_monitor
 
+    from zkm_tpu.stark.all_stark import make_all_stark
+
     platform, device = _device_info()
-    seg = _bench_segment()
     cfg = StarkConfig.standard_fast_config()
     cstats = install_compile_monitor()
 
-    print(f"[bench] platform={platform} device={device} "
-          f"cache={CACHE_DIR}", file=sys.stderr, flush=True)
+    print(f"[bench] workload={workload} steps={seg.step} "
+          f"platform={platform} device={device} cache={CACHE_DIR}",
+          file=sys.stderr, flush=True)
     t0 = time.time()
-    prove_segment(seg, cfg)          # warm-up: compiles (persisted)
+    receipt = prove_segment(seg, cfg)     # warm-up: compiles (persisted)
     warm_dt = time.time() - t0
+    heights = {t.name: pm.degree_bits for t, pm in zip(
+        make_all_stark().tables, receipt.proof.stark_proofs)}
     print(f"[bench] warm-up proof done in {warm_dt:.1f}s "
-          f"(XLA compiles: {cstats['compiles']} graphs, "
+          f"heights={heights} (XLA compiles: {cstats['compiles']} graphs, "
           f"{cstats['secs']:.1f}s = "
           f"{100 * cstats['secs'] / max(warm_dt, 1e-9):.0f}% of "
           f"wall-clock; persistent-cache hits: {cstats['cache_hits']})",
@@ -167,19 +182,40 @@ def bench_prove():
 
     per_min = 60.0 / dt
     return {
-        "metric": "segment_proofs_per_min_per_chip",
+        "metric": f"{workload}_segment_proofs_per_min_per_chip",
         "value": round(per_min, 3),
         "unit": "proofs/min",
-        "vs_baseline": round(per_min / BASELINE_PROOFS_PER_MIN, 4),
+        "vs_baseline": round(per_min / anchor, 4),
         "platform": platform,
         "device": device,
         "baseline_estimated": True,
+        "workload": workload,
+        "steps": seg.step,
+        "heights_log2": heights,
         "config": "standard_fast_config",
         "subset": "SPONGE_SUBSET(6 tables)",
         "warmup_s": round(warm_dt, 1),
         "compiled_graphs": warm_compiles,
         "compiles_in_timed_run": timed_compiles,
     }
+
+
+def bench_prove():
+    """Primary: the hello 65536-cycle segment; falls back to the tiny
+    segment if the hello path is unavailable or over budget (its compiles
+    persist either way, so the next round starts warmer)."""
+    if os.environ.get("BENCH_MODE") != "prove_toy" \
+            and os.path.exists(HELLO_ELF):
+        try:
+            return _prove_twice(_hello_segment(), "hello",
+                                BASELINE_HELLO_PROOFS_PER_MIN)
+        except _BenchTimeout:
+            raise
+        except Exception as e:
+            print(f"[bench] hello workload failed ({e!r}); "
+                  f"falling back to the tiny segment",
+                  file=sys.stderr, flush=True)
+    return _prove_twice(_toy_segment(), "tiny", BASELINE_PROOFS_PER_MIN)
 
 
 def main():
@@ -191,11 +227,27 @@ def main():
               "platform=cpu so it cannot be mistaken for a chip number",
               file=sys.stderr, flush=True)
         mode = "lde"
-    if mode == "prove":
+    if mode.startswith("prove"):
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(PROVE_BUDGET_S)
         try:
             result = bench_prove()
+        except _BenchTimeout:
+            # Budget gone on the hello workload: spend a small reserve on
+            # the tiny segment (its graphs are usually cached from earlier
+            # rounds) so the round still records a prove number.
+            signal.alarm(max(240, PROVE_BUDGET_S // 5))
+            print("[bench] prove budget exceeded; trying the tiny "
+                  "segment with the reserve budget",
+                  file=sys.stderr, flush=True)
+            try:
+                result = _prove_twice(_toy_segment(), "tiny",
+                                      BASELINE_PROOFS_PER_MIN)
+            except Exception as e:
+                signal.alarm(0)
+                print(f"[bench] tiny fallback failed too ({e!r}); "
+                      f"falling back to LDE", file=sys.stderr, flush=True)
+                result = bench_lde()
         except Exception as e:
             # Disarm immediately: the LDE fallback below can outlive the
             # original budget, and a late SIGALRM would kill the run with

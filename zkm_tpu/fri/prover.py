@@ -244,11 +244,21 @@ def fri_prove(oracles: Sequence[PolynomialBatch],
     indices = [challenger.get_challenge() % lde_size
                for _ in range(config.num_query_rounds)]
 
-    # Batched query extraction: gather rows + full Merkle paths for every
-    # (oracle | fold layer) on device first, then fetch EVERYTHING in ONE
-    # device->host round trip (each trip is ~125 ms over a remote-TPU
-    # tunnel; this block previously paid one per oracle/layer rows AND one
-    # per oracle/layer paths).
+    query_rounds = extract_query_rounds(oracles, trees, arities, indices)
+    return FriProof(commit_phase_merkle_caps=caps,
+                    query_round_proofs=query_rounds,
+                    final_poly=final_poly,
+                    pow_witness=pow_witness)
+
+
+def extract_query_rounds(oracles, trees, arities, indices):
+    """Batched query extraction: gather rows + full Merkle paths for every
+    (oracle | fold layer) on device first, then fetch EVERYTHING in ONE
+    device->host round trip (each trip is ~125 ms over a remote-TPU
+    tunnel; this block previously paid one per oracle/layer rows AND one
+    per oracle/layer paths).
+
+    trees: [(MerkleTree, leaves)] per commit-phase layer."""
     idx0 = np.asarray(indices, dtype=np.int64)
     oracle_rows_dev = [gl.take(o.leaves, idx0, axis=0) for o in oracles]
     oracle_paths_dev = [o.tree.open_batch_device(indices) for o in oracles]
@@ -294,8 +304,4 @@ def fri_prove(oracles: Sequence[PolynomialBatch],
             evals = np.stack([row[:arity], row[arity:]], axis=1)  # (arity, 2)
             steps.append(FriQueryStep(evals=evals, merkle_proof=paths[q]))
         query_rounds.append(FriQueryRound(initial, steps))
-
-    return FriProof(commit_phase_merkle_caps=caps,
-                    query_round_proofs=query_rounds,
-                    final_poly=final_poly,
-                    pow_witness=pow_witness)
+    return query_rounds

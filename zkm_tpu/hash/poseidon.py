@@ -278,6 +278,42 @@ def poseidon_bytes(data: bytes) -> np.ndarray:
     return gl.to_u64(_absorb_jit(blocks))
 
 
+def sponge_chain_states(blocks: jnp.ndarray):
+    """(..., nb, 8) u32 blocks -> (inputs (..., nb, 12), final (..., 12)).
+
+    `inputs[..., b, :]` is the permutation INPUT state of block b (rate
+    words overwritten, capacity carried) — exactly what the Poseidon
+    table's witness rows record; `final` is the last permutation's output
+    (digest = final[..., :DIGEST]).  Batched over leading axes so ALL
+    page sponges of a segment run as one dispatch (the per-page
+    permute_host chain was 88%% of witness generation wall-clock)."""
+    blocks = jnp.asarray(blocks, dtype=jnp.uint32)
+    batch = blocks.shape[:-2]
+    state = gl.zeros(batch + (SPONGE_WIDTH,))
+
+    def step(state, block):
+        st = (state[0].at[..., :SPONGE_RATE].set(block),
+              state[1].at[..., :SPONGE_RATE].set(jnp.zeros_like(block)))
+        return permute(st), st
+
+    blocks_t = jnp.moveaxis(blocks, -2, 0)
+    final, inputs = jax.lax.scan(step, state, blocks_t)
+    inputs = (jnp.moveaxis(inputs[0], 0, -2),
+              jnp.moveaxis(inputs[1], 0, -2))
+    return inputs, final
+
+
+_sponge_chain_jit = host_jit(sponge_chain_states)
+
+
+def sponge_chains_u64(blocks: np.ndarray):
+    """Host entry: (P, nb, 8) u32 -> (inputs (P, nb, 12) u64,
+    final (P, 12) u64) in ONE dispatch + one fetch."""
+    inputs, final = _sponge_chain_jit(blocks)
+    i64, f64 = gl.to_u64_many([inputs, final])
+    return i64, f64
+
+
 # ---------------------------------------------------------------------------
 # Pure-python permutation (host transcript path).
 #

@@ -396,13 +396,43 @@ def prove_with_traces(starks: Sequence, config: StarkConfig,
             traces, ctls, ctl_challenges, 3)
 
     proofs = []
+    device_transcript = _use_device_transcript() and not debug
+    if device_transcript:
+        from .device_transcript import (TranscriptHandle,
+                                        prove_single_table_device)
+        handle = TranscriptHandle.from_host(challenger)
     for stark, trace, commitment, ctl_data in zip(
             starks, traces, trace_commitments, ctl_data_per_table):
         with timed("prove table", table=type(stark).__name__,
                    n=trace[0].shape[-1]):
-            proofs.append(prove_single_table(
-                stark, config, trace, commitment, ctl_data, ctl_challenges,
-                challenger, debug=debug,
-                publics=public_inputs_of(stark, public_values)))
+            if device_transcript:
+                proofs.append(prove_single_table_device(
+                    stark, config, trace, commitment, ctl_data,
+                    ctl_challenges, handle,
+                    publics=public_inputs_of(stark, public_values)))
+            else:
+                proofs.append(prove_single_table(
+                    stark, config, trace, commitment, ctl_data,
+                    ctl_challenges, challenger, debug=debug,
+                    publics=public_inputs_of(stark, public_values)))
+    if device_transcript:
+        # hand the final transcript state back to the caller's challenger
+        final = handle.fetch_host_with([])[0]
+        challenger.state = final.state
+        challenger.input_buffer = final.input_buffer
+        challenger.output_buffer = final.output_buffer
     return AllProof(stark_proofs=proofs, ctl_challenges=ctl_challenges,
                     public_values=public_values)
+
+
+def _use_device_transcript() -> bool:
+    """Device-resident transcript (stark/device_transcript.py): default ON
+    for accelerator backends (fetch latency dominates there), OFF for CPU
+    (XLA:CPU prefers many small graphs; the host path is also the
+    reference implementation the suite exercises).  ZKM_DEVICE_TRANSCRIPT
+    overrides either way."""
+    import os
+    flag = os.environ.get("ZKM_DEVICE_TRANSCRIPT")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() != "cpu"

@@ -24,6 +24,20 @@ import platform
 
 
 def host_cache_dir(root: str = "/root/repo/.jax_cache") -> str:
+    # Partition per BACKEND (VERDICT r3 item 1): a poisoned or
+    # cross-machine XLA:CPU AOT entry segfaults the process at cache-LOAD
+    # time (observed: SIGSEGV inside get_executable_and_time during the
+    # test suite).  Separate dirs mean a bad CPU entry can never take
+    # down a TPU run, and a wipe of one platform's entries keeps the
+    # other's warmth.
+    import jax
+    backend = jax.default_backend()
+    if backend != "cpu":
+        # Accelerator executables target the DEVICE, not the host CPU —
+        # they are valid from any host, so the cache must be shared
+        # across hosts (rounds migrate machines; a host-tagged dir would
+        # orphan every previous round's TPU warm-up).
+        return os.path.join(root, backend)
     tag = platform.machine()
     try:
         lines = []
@@ -38,15 +52,7 @@ def host_cache_dir(root: str = "/root/repo/.jax_cache") -> str:
         tag += hashlib.sha256("".join(lines).encode()).hexdigest()[:12]
     except OSError:
         pass
-    # Partition per BACKEND as well (VERDICT r3 item 1): a poisoned or
-    # cross-machine XLA:CPU AOT entry segfaults the process at cache-LOAD
-    # time (observed: SIGSEGV inside get_executable_and_time during the
-    # test suite), and the fingerprint above cannot always distinguish
-    # the compiling machine.  Separate dirs mean a bad CPU entry can
-    # never take down a TPU run, and a wipe of one platform's entries
-    # keeps the other's warmth.
-    import jax
-    return os.path.join(root, f"{tag}_{jax.default_backend()}")
+    return os.path.join(root, f"{tag}_{backend}")
 
 
 def enable_persistent_cache(root: str = "/root/repo/.jax_cache") -> str:

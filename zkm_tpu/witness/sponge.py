@@ -37,10 +37,15 @@ def _digest_bytes(digest_u64s: List[int]) -> bytes:
 
 
 def poseidon_sponge_log(s, base_addresses: List[Tuple[int, int, int]],
-                        input_bytes: bytes) -> List[int]:
+                        input_bytes: bytes, precomputed=None) -> List[int]:
     """Log one sponge op: word-level memory reads at the current clock,
     one Poseidon permutation input per rate block, and the sponge-table op.
-    Returns the 4-limb digest (witness/util.rs:370-468)."""
+    Returns the 4-limb digest (witness/util.rs:370-468).
+
+    precomputed: optional (inputs (nb, 12) u64, final (12,) u64) chain
+    from ps.sponge_chains_u64 — page hashing batches all pages into one
+    device dispatch instead of a permute_host per 32-byte block (which
+    was 88% of witness wall-clock)."""
     assert len(input_bytes) % 4 == 0, "sponge inputs must be word-aligned"
     ts = s.clock() * cc.NUM_CHANNELS
     nwords = len(input_bytes) // 4
@@ -52,22 +57,29 @@ def poseidon_sponge_log(s, base_addresses: List[Tuple[int, int, int]],
             f"sponge read mismatch at {virt:#x}: mem {got:#x} != {v:#x}")
         s._push_mem(True, True, ctx, seg, virt, v)
 
+    from .generation import PoseidonSpongeOp
+    s.t.poseidon_sponge_ops.append(PoseidonSpongeOp(
+        base_address=list(base_addresses), timestamp=ts,
+        input=bytes(input_bytes)))
+
+    if precomputed is not None:
+        inputs_u64, final_u64 = precomputed
+        for b in range(inputs_u64.shape[0]):
+            s.t.poseidon_inputs.append(
+                ([int(x) for x in inputs_u64[b]], ts))
+        return [int(x) for x in final_u64[:ps.DIGEST]]
+
     blocks = ps.bytes_to_rate_blocks(input_bytes)     # (nb, 8) u32 LE
     state = [0] * ps.SPONGE_WIDTH
     for block in blocks:
         state[:SPONGE_RATE] = [int(x) for x in block]
         s.t.poseidon_inputs.append((list(state), ts))
         state = ps.permute_host(state)
-
-    from .generation import PoseidonSpongeOp
-    s.t.poseidon_sponge_ops.append(PoseidonSpongeOp(
-        base_address=list(base_addresses), timestamp=ts,
-        input=bytes(input_bytes)))
     return state[:ps.DIGEST]
 
 
 def _sponge_cpu_row(s, base_addresses, input_bytes: bytes, *,
-                    bootstrap: bool) -> bytes:
+                    bootstrap: bool, precomputed=None) -> bytes:
     """Push the CPU row carrying a sponge op's CTL view; returns the raw
     digest bytes (bootstrap_kernel.rs:134-179 / :277-302)."""
     row = s.new_row()
@@ -87,7 +99,8 @@ def _sponge_cpu_row(s, base_addresses, input_bytes: bytes, *,
     s.push_no_write(row, 2, virt)
     s.push_no_write(row, 3, len(input_bytes))
 
-    digest = poseidon_sponge_log(s, base_addresses, input_bytes)
+    digest = poseidon_sponge_log(s, base_addresses, input_bytes,
+                                 precomputed=precomputed)
     for i, c in enumerate(cc.HASH_VALUE):
         row[c] = digest[i]
     s.push_row(row)
@@ -101,7 +114,8 @@ def _page_bytes(s, page_addr: int) -> Tuple[List, bytes]:
     return addrs, data
 
 
-def _check_page_hash(s, seg, page_addr: int, update: bool):
+def _check_page_hash(s, seg, page_addr: int, update: bool,
+                     precomputed=None):
     """Sponge the page's current content; at bootstrap, assert it matches
     the stored (pre-state) hash; at exit, write the new hash into the
     parent hash page (bootstrap_kernel.rs check_memory_page_hash)."""
@@ -110,15 +124,20 @@ def _check_page_hash(s, seg, page_addr: int, update: bool):
     if update and page_addr != HASH_ADDRESS_END:
         # recompute + write the new hash words before hashing the page's
         # parent (sorted page order guarantees parent hashes later)
-        digest = ps.poseidon_bytes(data)
-        raw = _digest_bytes([int(x) for x in digest])
+        if precomputed is not None:
+            raw = _digest_bytes([int(x) for x in
+                                 precomputed[1][:ps.DIGEST]])
+        else:
+            digest = ps.poseidon_bytes(data)
+            raw = _digest_bytes([int(x) for x in digest])
         hash_addr = HASH_ADDRESS_BASE + ((page_addr >> 12) << 5)
         writes = [(hash_addr + 4 * j,
                    int.from_bytes(raw[4 * j:4 * j + 4], "big"))
                   for j in range(8)]
         _write_words(s, writes, bootstrap=False)
 
-    digest_raw = _sponge_cpu_row(s, addrs, data, bootstrap=not update)
+    digest_raw = _sponge_cpu_row(s, addrs, data, bootstrap=not update,
+                                 precomputed=precomputed)
 
     if page_addr == HASH_ADDRESS_END:
         expected = seg.page_hash_root if update else seg.pre_hash_root
@@ -169,14 +188,31 @@ def _check_image_id(s, seg, post: bool):
         f"image id mismatch ({'post' if post else 'pre'})"
 
 
+def _precompute_sponges(s, pages: List[int]):
+    """Batch the page-sponge chains of `pages` (page indices) into one
+    device dispatch + one fetch (ps.sponge_chains_u64); returns
+    {page_index: (inputs (nb, 12) u64, final (12,) u64)}."""
+    if len(pages) < 2:
+        return {}
+    import numpy as np
+    blocks = np.stack([ps.bytes_to_rate_blocks(
+        _page_bytes(s, p << 12)[1]) for p in pages])
+    inputs, final = ps.sponge_chains_u64(blocks)
+    return {p: (inputs[i], final[i]) for i, p in enumerate(pages)}
+
+
 def bootstrap_hash_checks(s):
     """Page-hash + pre-image-id sponge rows (bootstrap_kernel.rs:63-71).
 
     The final bootstrap row is the image-id sponge row (no used channels,
     satisfying the bootstrap-terminator constraint)."""
     seg = s.seg
-    for page_addr in sorted({a >> 12 for a in s.image}):
-        _check_page_hash(s, seg, page_addr << 12, update=False)
+    pages = sorted({a >> 12 for a in s.image})
+    # bootstrap performs no writes, so every page chain can precompute
+    pre = _precompute_sponges(s, pages)
+    for page_addr in pages:
+        _check_page_hash(s, seg, page_addr << 12, update=False,
+                         precomputed=pre.get(page_addr))
     _check_image_id(s, seg, post=False)
 
 
@@ -205,9 +241,25 @@ def exit_kernel_checks(s, seg):
 
     if not _enabled(s):
         return
-    # re-hash every image page with post-state content, then post image id
-    for page_addr in sorted({a >> 12 for a in s.image}):
-        _check_page_hash(s, seg, page_addr << 12, update=True)
+    # re-hash every image page with post-state content, then post image id.
+    # A page's re-hash writes its digest into its PARENT hash page, so a
+    # level's contents are final once every child level is done: process
+    # level by level (data pages -> level-1 -> level-2 -> root), batching
+    # each level's sponge chains into one device dispatch.
+    pages = sorted({a >> 12 for a in s.image})
+    levels = [
+        [p for p in pages if (p << 12) < HASH_ADDRESS_BASE],
+        [p for p in pages
+         if HASH_ADDRESS_BASE <= (p << 12) < 0x8100_0000],
+        [p for p in pages if 0x8100_0000 <= (p << 12) < HASH_ADDRESS_END],
+        [p for p in pages if (p << 12) >= HASH_ADDRESS_END],
+    ]
+    assert sum(len(lv) for lv in levels) == len(pages)
+    for level in levels:
+        pre = _precompute_sponges(s, level)
+        for page_addr in level:
+            _check_page_hash(s, seg, page_addr << 12, update=True,
+                             precomputed=pre.get(page_addr))
     _check_image_id(s, seg, post=True)
 
 
