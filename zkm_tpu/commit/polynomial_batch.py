@@ -48,6 +48,16 @@ class PolynomialBatch:
     def cap_u64(self) -> np.ndarray:
         return gl.to_u64(self.tree.cap)
 
+    def release(self):
+        """Drop the LDE leaves, tree, and coefficients so the device
+        allocator can reclaim them.  At hello-segment scale the per-table
+        leaf arrays are hundreds of MB each and are dead the moment the
+        table's FRI query extraction is done — holding all 6 tables'
+        worth for the whole proof OOMs a 16 GB chip."""
+        self.coeffs = None
+        self.leaves = None
+        self.tree = None
+
     def leaf_row(self, index: int) -> np.ndarray:
         """u64 row of all column values at leaf `index` (host)."""
         return gl.to_u64(gl.getitem(self.leaves, index))

@@ -401,8 +401,8 @@ def prove_with_traces(starks: Sequence, config: StarkConfig,
         from .device_transcript import (TranscriptHandle,
                                         prove_single_table_device)
         handle = TranscriptHandle.from_host(challenger)
-    for stark, trace, commitment, ctl_data in zip(
-            starks, traces, trace_commitments, ctl_data_per_table):
+    for i, (stark, trace, commitment, ctl_data) in enumerate(zip(
+            starks, traces, trace_commitments, ctl_data_per_table)):
         with timed("prove table", table=type(stark).__name__,
                    n=trace[0].shape[-1]):
             if device_transcript:
@@ -415,6 +415,13 @@ def prove_with_traces(starks: Sequence, config: StarkConfig,
                     stark, config, trace, commitment, ctl_data,
                     ctl_challenges, challenger, debug=debug,
                     publics=public_inputs_of(stark, public_values)))
+        # this table's trace commitment (LDE leaves + tree) and raw trace
+        # are dead once its proof is assembled; free them so the device
+        # allocator reclaims the memory before the next table commits its
+        # aux/quotient oracles (peak-HBM reduction; see release())
+        commitment.release()
+        traces[i] = None
+        ctl_data_per_table[i] = None
     if device_transcript:
         # hand the final transcript state back to the caller's challenger
         final = handle.fetch_host_with([])[0]
