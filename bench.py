@@ -34,16 +34,22 @@ shape, 4.8e9 butterflies/s for the 32-core rayon LDE.
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
-from zkm_tpu.utils.cache import enable_persistent_cache
+CACHE_DIR = None
 
-# Without the persistent cache every bench run cold-compiles the whole
-# prover; with it only the first run on a host pays (the cache works for
-# the axon TPU backend too — verified: fresh-process recompile of a cached
-# graph is ~10x faster).
-CACHE_DIR = enable_persistent_cache()
+
+def _enable_cache():
+    """Persistent compile cache: without it every bench run cold-compiles
+    the whole prover; with it only the first run on a host pays (works
+    for the axon TPU backend too — fresh-process recompile of a cached
+    graph is ~10x faster).  Called in workload children only; the
+    orchestrating parent never initializes jax."""
+    global CACHE_DIR
+    from zkm_tpu.utils.cache import enable_persistent_cache
+    CACHE_DIR = enable_persistent_cache()
 
 HELLO_ELF = "/root/reference/emulator/test-vectors/hello"
 BASELINE_HELLO_PROOFS_PER_MIN = 1.5
@@ -200,28 +206,51 @@ def _prove_twice(seg, workload: str, anchor: float):
     }
 
 
-def bench_prove():
-    """Primary: the hello 65536-cycle segment; falls back to the tiny
-    segment if the hello path is unavailable or over budget (its compiles
-    persist either way, so the next round starts warmer)."""
-    if os.environ.get("BENCH_MODE") != "prove_toy" \
-            and os.path.exists(HELLO_ELF):
-        try:
-            return _prove_twice(_hello_segment(), "hello",
-                                BASELINE_HELLO_PROOFS_PER_MIN)
-        except _BenchTimeout:
-            raise
-        except Exception as e:
-            print(f"[bench] hello workload failed ({e!r}); "
-                  f"falling back to the tiny segment",
-                  file=sys.stderr, flush=True)
+def bench_prove_hello():
+    return _prove_twice(_hello_segment(), "hello",
+                        BASELINE_HELLO_PROOFS_PER_MIN)
+
+
+def bench_prove_toy():
     return _prove_twice(_toy_segment(), "tiny", BASELINE_PROOFS_PER_MIN)
 
 
-def main():
-    mode = os.environ.get("BENCH_MODE", "prove")
+def _run_child(mode: str, budget_s: int):
+    """One workload attempt in a FRESH process.
+
+    Isolation matters twice over: (a) a TPU RESOURCE_EXHAUSTED poisons
+    the whole tunnel session — after one OOM, even a tiny follow-up
+    workload fails in the same process (observed; the r5 prewarm's tiny
+    AND lde fallbacks died after the hello OOM); (b) the budget can be
+    enforced with a hard kill without losing the parent.  Returns the
+    child's JSON dict or None."""
+    env = dict(os.environ)
+    env["BENCH_MODE"] = mode
+    env["BENCH_PROVE_BUDGET_S"] = str(int(budget_s))
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)], env=env,
+            timeout=budget_s + 120, stdout=subprocess.PIPE, stderr=None)
+    except subprocess.TimeoutExpired:
+        print(f"[bench] {mode} child exceeded {budget_s}s + grace; killed",
+              file=sys.stderr, flush=True)
+        return None
+    out = proc.stdout.decode(errors="replace").strip().splitlines()
+    print(f"[bench] {mode} child rc={proc.returncode} "
+          f"in {time.time()-t0:.0f}s", file=sys.stderr, flush=True)
+    for line in reversed(out):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def _run_mode_inline(mode: str):
+    _enable_cache()
     platform, _ = _device_info()
-    if mode == "prove" and platform == "cpu":
+    if mode.startswith("prove") and platform == "cpu":
         print("[bench] ERROR: no TPU visible (platform=cpu) — the prove "
               "metric is TPU-only; emitting the LDE fallback with "
               "platform=cpu so it cannot be mistaken for a chip number",
@@ -231,37 +260,37 @@ def main():
         signal.signal(signal.SIGALRM, _alarm)
         signal.alarm(PROVE_BUDGET_S)
         try:
-            result = bench_prove()
-        except _BenchTimeout:
-            # Budget gone on the hello workload: spend a small reserve on
-            # the tiny segment (its graphs are usually cached from earlier
-            # rounds) so the round still records a prove number.
-            signal.alarm(max(240, PROVE_BUDGET_S // 5))
-            print("[bench] prove budget exceeded; trying the tiny "
-                  "segment with the reserve budget",
-                  file=sys.stderr, flush=True)
-            try:
-                result = _prove_twice(_toy_segment(), "tiny",
-                                      BASELINE_PROOFS_PER_MIN)
-            except Exception as e:
-                signal.alarm(0)
-                print(f"[bench] tiny fallback failed too ({e!r}); "
-                      f"falling back to LDE", file=sys.stderr, flush=True)
-                result = bench_lde()
-        except Exception as e:
-            # Disarm immediately: the LDE fallback below can outlive the
-            # original budget, and a late SIGALRM would kill the run with
-            # no JSON line at all.
-            signal.alarm(0)
-            print(f"prove bench failed ({e!r}); falling back to LDE "
-                  f"(compiles done so far are persisted — the next run "
-                  f"starts warmer)", file=sys.stderr, flush=True)
-            result = bench_lde()
+            return bench_prove_hello() if mode == "prove_hello" \
+                else bench_prove_toy()
         finally:
             signal.alarm(0)
-    else:
-        result = bench_lde()
-    print(json.dumps(result), flush=True)
+    return bench_lde()
+
+
+def main():
+    mode = os.environ.get("BENCH_MODE", "auto")
+    if mode != "auto":
+        result = _run_mode_inline(mode)
+        print(json.dumps(result), flush=True)
+        return
+
+    # Orchestrate fresh-process attempts: hello (the headline workload)
+    # -> tiny (comparable to r2-r4 numbers) -> LDE (always succeeds).
+    budget = PROVE_BUDGET_S
+    attempts = [("prove_hello", max(300, int(budget * 0.55))),
+                ("prove_toy", max(240, int(budget * 0.35))),
+                ("lde", 240)]
+    if not os.path.exists(HELLO_ELF):
+        attempts = attempts[1:]
+    for mode_i, budget_i in attempts:
+        result = _run_child(mode_i, budget_i)
+        if result is not None:
+            print(json.dumps(result), flush=True)
+            return
+        print(f"[bench] {mode_i} produced no result; next fallback",
+              file=sys.stderr, flush=True)
+    print(json.dumps({"metric": "bench_failed", "value": 0,
+                      "unit": "none", "vs_baseline": 0}), flush=True)
 
 
 if __name__ == "__main__":

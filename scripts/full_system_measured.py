@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
-os.environ.setdefault("ZKM_LOG", "time")
+os.environ.setdefault("ZKM_LOG", "info")
 platform = os.environ.get("ZKM_STAGE_PLATFORM", "")
 
 import jax  # noqa: E402
